@@ -1,0 +1,327 @@
+"""Generic (Högbom/Clark) CLEAN with joined channels & polarizations.
+
+Behavioral equivalent of ``cpp/algorithms/generic_clean.{h,cc}``, redesigned
+TPU-first:
+
+* The plain Högbom minor loop becomes a single jit-compiled
+  ``lax.while_loop`` whose body does: joined integration → masked argmax →
+  spectral fit (tiny matmul) → model update → shifted-PSF subtraction over the
+  whole cube.  Each iteration is a handful of fused HBM passes; there is no
+  host round-trip inside the loop.
+* The Clark-style optimization delegates to :class:`SubMinorLoop`
+  (``radler_tpu/models/subminor.py``), then corrects the full residual with
+  one batched FFT convolution.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..image_set import (
+    CubeMeta,
+    get_linear_integrated,
+    get_square_integrated,
+)
+from ..ops.peak_finder import border_from_ratio, find_peak
+from ..ops.psf_subtract import subtract_psf_from_cube
+from ..ops.convolution import untrim
+from .base import DeconvolutionAlgorithm, DeconvolutionResult
+from .subminor import SubMinorLoop, choose_padded_size
+from ..settings import OptimizationAlgorithm
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "meta",
+        "allow_negative",
+        "stop_on_negative",
+        "fitter",
+        "border_h",
+        "border_v",
+        "use_rms",
+        "use_mask",
+    ),
+)
+def _hogbom_loop(
+    residual: jnp.ndarray,  # [N, H, W]
+    model: jnp.ndarray,  # [N, H, W]
+    psfs: jnp.ndarray,  # [C, H, W] padded to image size
+    rms_factor: jnp.ndarray,  # [H, W] (ones if unused)
+    mask: jnp.ndarray,  # [H, W] bool (all-true if unused)
+    peak0_value: jnp.ndarray,
+    peak0_x: jnp.ndarray,
+    peak0_y: jnp.ndarray,
+    peak0_found: jnp.ndarray,
+    first_threshold: jnp.ndarray,
+    gain: jnp.ndarray,
+    initial_abs_peak: jnp.ndarray,
+    divergence_limit: jnp.ndarray,
+    start_iteration: jnp.ndarray,
+    max_iterations: jnp.ndarray,
+    *,
+    meta: CubeMeta,
+    allow_negative: bool,
+    stop_on_negative: bool,
+    fitter,
+    border_h: int,
+    border_v: int,
+    use_rms: bool,
+    use_mask: bool,
+):
+    """The non-subminor minor loop (``generic_clean.cc:163-206``)."""
+    psf_indices = jnp.asarray(meta.psf_indices)
+
+    def refind(res):
+        integrated = get_square_integrated(res, meta)
+        if use_rms:
+            integrated = integrated * rms_factor
+        return find_peak(
+            integrated,
+            allow_negative,
+            border_h,
+            border_v,
+            mask if use_mask else None,
+        )
+
+    def cond(state):
+        res, mod, it, value, x, y, found, diverging = state
+        ok = found & (jnp.abs(value) > first_threshold)
+        ok &= it < max_iterations
+        if stop_on_negative:
+            ok &= value >= 0.0
+        return ok & ~diverging
+
+    def body(state):
+        res, mod, it, value, x, y, found, _ = state
+        peak_values = res[:, y, x]  # [N]
+        if fitter is not None:
+            vals = peak_values.reshape(meta.n_channels, meta.n_polarizations)
+            peak_values = fitter.fit_and_evaluate(vals, x, y).reshape(-1)
+        peak_values = peak_values * gain
+        mod = mod.at[:, y, x].add(peak_values)
+        res = subtract_psf_from_cube(res, psfs, psf_indices, x, y, peak_values)
+        pk = refind(res)
+        diverging = jnp.where(
+            divergence_limit != 0.0,
+            pk.found & (jnp.abs(pk.value) > initial_abs_peak * divergence_limit),
+            False,
+        )
+        return res, mod, it + 1, pk.value, pk.x, pk.y, pk.found, diverging
+
+    init = (
+        residual,
+        model,
+        start_iteration,
+        peak0_value,
+        peak0_x,
+        peak0_y,
+        peak0_found,
+        jnp.asarray(False),
+    )
+    res, mod, it, value, x, y, found, diverging = jax.lax.while_loop(
+        cond, body, init
+    )
+    return res, mod, it, value, found, diverging
+
+
+class GenericClean(DeconvolutionAlgorithm):
+    """``cpp/algorithms/generic_clean.{h,cc}``."""
+
+    def __init__(self, use_sub_minor_optimization: bool = True):
+        super().__init__()
+        self.convolution_padding = 1.1
+        self.use_sub_minor_optimization = use_sub_minor_optimization
+
+    # ------------------------------------------------------------------
+    def _find_peak(self, integrated: jnp.ndarray):
+        """``GenericClean::FindPeak`` (``generic_clean.cc:255-277``)."""
+        img = integrated
+        if self.rms_factor_image is not None:
+            img = integrated * self.rms_factor_image
+        h, w = img.shape
+        hb, vb = border_from_ratio(w, h, self.clean_border_ratio)
+        mask = (
+            jnp.asarray(self.clean_mask) if self.clean_mask is not None else None
+        )
+        return find_peak(img, self.allow_negative_components, hb, vb, mask)
+
+    # ------------------------------------------------------------------
+    def execute_major_iteration(
+        self, dirty_set, model_set, psfs: jnp.ndarray
+    ) -> DeconvolutionResult:
+        meta: CubeMeta = dirty_set.meta
+        width, height = dirty_set.width, dirty_set.height
+        iteration_counter_at_start = self.iteration_number
+        if self.stop_on_negative_components:
+            self.allow_negative_components = True
+
+        padded_h, padded_w = choose_padded_size(
+            width, height, self.convolution_padding
+        )
+
+        integrated = get_linear_integrated(dirty_set.data, meta)
+        pk = self._find_peak(integrated)
+        found = bool(pk.found)
+        result = DeconvolutionResult()
+        result.starting_peak_value = float(pk.value) if found else None
+        result.final_peak_value = float(pk.value) if found else 0.0
+        if not found:
+            return result
+        if self.iteration_number >= self.max_iterations:
+            # Enables the facet layer's peak-only phase-1 pass
+            # (generic_clean.cc:83-88).
+            return result
+
+        if self.component_optimization_algorithm != OptimizationAlgorithm.CLEAN:
+            from ..ops import component_optimization as comp_opt
+
+            comp_opt.run_component_optimization(
+                dirty_set,
+                model_set,
+                psfs,
+                self.component_optimization_algorithm,
+            )
+            self._fit_model_spectra(model_set)
+            return result
+
+        initial_max_value = abs(float(pk.value))
+        first_threshold = self.threshold
+        major_iter_threshold = max(
+            self.major_iteration_threshold,
+            initial_max_value * (1.0 - self.major_loop_gain),
+        )
+        if major_iter_threshold > first_threshold:
+            first_threshold = major_iter_threshold
+
+        diverging = False
+        max_value: Optional[float] = float(pk.value)
+        if self.use_sub_minor_optimization:
+            sub = SubMinorLoop(width, height, padded_w, padded_h)
+            sub.set_iteration_info(self.iteration_number, self.max_iterations)
+            sub.set_threshold(first_threshold, first_threshold * 0.99)
+            sub.set_gain(self.minor_loop_gain)
+            sub.allow_negative_components = self.allow_negative_components
+            sub.stop_on_negative_component = self.stop_on_negative_components
+            sub.divergence_limit = self.divergence_limit
+            if self.rms_factor_image is not None:
+                sub.rms_factor_image = self.rms_factor_image
+            if self.clean_mask is not None:
+                sub.mask = self.clean_mask
+            hor_border = int(round(width * self.clean_border_ratio))
+            vert_border = int(round(height * self.clean_border_ratio))
+            sub.set_clean_borders(hor_border, vert_border)
+
+            diverging, max_value = sub.run(
+                dirty_set.data, meta, psfs, self.spectral_fitter
+            )
+            self.iteration_number = sub.current_iteration
+
+            if max_value is not None:
+                new_residual, full_model = sub.correct_residual_dirty(
+                    dirty_set.data, psfs
+                )
+                dirty_set.data = new_residual
+                model_set.data = model_set.data + full_model
+            # When the subminor loop selected no pixels, the reference's
+            # fallback FindPeak runs over a zeroed scratch buffer and finds
+            # nothing (generic_clean.cc:156-162): max_value stays unset.
+        else:
+            use_rms = self.rms_factor_image is not None
+            use_mask = self.clean_mask is not None
+            hb, vb = border_from_ratio(width, height, self.clean_border_ratio)
+            psfs_padded = untrim(psfs, height, width) if psfs.shape[-2:] != (
+                height,
+                width,
+            ) else psfs
+            fit = (
+                self.spectral_fitter
+                if (
+                    self.spectral_fitter is not None
+                    and self.spectral_fitter.is_active
+                )
+                else None
+            )
+            res, mod, it, value, found_f, diverging_f = _hogbom_loop(
+                dirty_set.data,
+                model_set.data,
+                psfs_padded,
+                self.rms_factor_image
+                if use_rms
+                else jnp.ones((height, width), jnp.float32),
+                jnp.asarray(self.clean_mask)
+                if use_mask
+                else jnp.ones((height, width), bool),
+                pk.value,
+                pk.x,
+                pk.y,
+                pk.found,
+                jnp.float32(first_threshold),
+                jnp.float32(self.minor_loop_gain),
+                jnp.float32(initial_max_value),
+                jnp.float32(self.divergence_limit),
+                jnp.int32(self.iteration_number),
+                jnp.int32(self.max_iterations),
+                meta=meta,
+                allow_negative=self.allow_negative_components,
+                stop_on_negative=self.stop_on_negative_components,
+                fitter=fit,
+                border_h=hb,
+                border_v=vb,
+                use_rms=use_rms,
+                use_mask=use_mask,
+            )
+            dirty_set.data = res
+            model_set.data = mod
+            self.iteration_number = int(it)
+            diverging = bool(diverging_f)
+            max_value = float(value) if bool(found_f) else None
+
+        # Stop-reason reporting (generic_clean.cc:208-251).
+        if diverging:
+            if max_value is not None:
+                result.final_peak_value = max_value
+            result.another_iteration_required = False
+            result.is_diverging = True
+        elif max_value is not None:
+            max_iter_reached = self.iteration_number >= self.max_iterations
+            final_threshold_reached = (
+                abs(max_value) <= self.threshold or max_value == 0.0
+            )
+            negative_reached = (
+                max_value < 0.0 and self.stop_on_negative_components
+            )
+            mgain_reached = abs(max_value) <= major_iter_threshold
+            did_work = (
+                self.iteration_number - iteration_counter_at_start
+            ) != 0
+            del max_iter_reached  # informational in the reference's logging
+            result.another_iteration_required = (
+                mgain_reached
+                and did_work
+                and not negative_reached
+                and not final_threshold_reached
+            )
+            result.final_peak_value = max_value
+        else:
+            result.another_iteration_required = False
+        return result
+
+    # ------------------------------------------------------------------
+    def _fit_model_spectra(self, model_set) -> None:
+        """``GenericClean::FitSpectra`` (``generic_clean.cc:278-297``):
+        constrain every model pixel's spectrum, batched over the image."""
+        if self.spectral_fitter is None or not self.spectral_fitter.is_active:
+            return
+        meta = model_set.meta
+        C, P = meta.n_channels, meta.n_polarizations
+        H, W = model_set.height, model_set.width
+        cube = model_set.data.reshape(C, P, H, W)
+        vals = cube.reshape(C, P * H * W)
+        fitted = self.spectral_fitter.fit_and_evaluate(vals)
+        model_set.data = fitted.reshape(C * P, H, W)

@@ -1,0 +1,106 @@
+"""FFT convolution primitives.
+
+TPU-native equivalent of the schaapcommon FFTW path used by the reference
+(``PrepareConvolutionKernel`` + ``Convolve`` + ``PaddedConvolution``, called
+from e.g. ``cpp/algorithms/subminor_loop.cc:195-218`` and
+``cpp/algorithms/multiscale/multiscale_transforms.cc:11-23``).
+
+All convolutions here are *centered*: the kernel's origin is pixel
+``(H//2, W//2)``, matching the reference's PSF conventions.  Images are
+zero-padded to a 7-smooth size (same policy as
+``cpp/utils/fft_size_calculations.h``) to avoid wrap-around, convolved via
+``jnp.fft.rfft2`` (XLA's batched FFT), and trimmed back.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.fft_size import calculate_good_fft_size
+
+
+def untrim(image: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
+    """Zero-pad ``image`` centered into a (height, width) canvas.
+
+    Equivalent of ``aocommon::Image::Untrim``: the input center pixel
+    ``(h//2, w//2)`` lands on the output center pixel ``(H//2, W//2)``.
+    """
+    h, w = image.shape[-2:]
+    top = height // 2 - h // 2
+    left = width // 2 - w // 2
+    pad = [(0, 0)] * (image.ndim - 2) + [
+        (top, height - h - top),
+        (left, width - w - left),
+    ]
+    return jnp.pad(image, pad)
+
+
+def trim(image: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
+    """Extract the centered (height, width) region (``aocommon::Image::Trim``)."""
+    h, w = image.shape[-2:]
+    top = h // 2 - height // 2
+    left = w // 2 - width // 2
+    return image[..., top : top + height, left : left + width]
+
+
+def _centered_kernel_fft(kernel: jnp.ndarray, shape: Tuple[int, int]) -> jnp.ndarray:
+    """rfft2 of the kernel re-origined so its center pixel is at (0, 0).
+
+    Equivalent of ``schaapcommon::math::PrepareConvolutionKernel``.
+    """
+    h, w = kernel.shape[-2:]
+    k = jnp.roll(kernel, (-(h // 2), -(w // 2)), axis=(-2, -1))
+    return jnp.fft.rfft2(k, s=shape)
+
+
+def convolve_same(image: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """Circular centered convolution at the image's own size.
+
+    Equivalent of ``schaapcommon::math::Convolve`` on pre-padded buffers:
+    out[p] = sum_q image[q] * kernel[p - q + center].  Batched over leading
+    dims of ``image``; ``kernel`` may have matching leading dims or be 2-D.
+    """
+    h, w = image.shape[-2:]
+    img_f = jnp.fft.rfft2(image)
+    ker_f = _centered_kernel_fft(kernel, (h, w))
+    return jnp.fft.irfft2(img_f * ker_f, s=(h, w)).astype(image.dtype)
+
+
+@partial(jax.jit, static_argnames=("padded_height", "padded_width"))
+def _padded_convolve_impl(
+    image: jnp.ndarray,
+    kernel: jnp.ndarray,
+    padded_height: int,
+    padded_width: int,
+) -> jnp.ndarray:
+    h, w = image.shape[-2:]
+    img_p = untrim(image, padded_height, padded_width)
+    ker_p = untrim(kernel, padded_height, padded_width)
+    out = convolve_same(img_p, ker_p)
+    return trim(out, h, w)
+
+
+def padded_convolve(
+    image: jnp.ndarray,
+    kernel: jnp.ndarray,
+    padding: float = 1.1,
+    padded_shape: Optional[Tuple[int, int]] = None,
+) -> jnp.ndarray:
+    """Zero-padded centered convolution returning the input-sized result.
+
+    Equivalent of ``schaapcommon::math::PaddedConvolution`` and of the
+    manual untrim/convolve/trim dance in ``cpp/algorithms/subminor_loop.cc:
+    195-218``.  ``padded_shape`` overrides the automatically chosen 7-smooth
+    padded size.
+    """
+    h, w = image.shape[-2:]
+    if padded_shape is None:
+        ph = calculate_good_fft_size(int(padding * h))
+        pw = calculate_good_fft_size(int(padding * w))
+    else:
+        ph, pw = padded_shape
+    return _padded_convolve_impl(image, kernel, ph, pw)

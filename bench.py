@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Headline benchmark: Clark-subminor minor-loop iterations/s at 4096^2.
+
+Matches BASELINE.json's metric ("minor-loop iterations/s/chip at 4096^2").
+Builds a synthetic 4096^2 field (point sources convolved with a PSF with
+sidelobes), runs one full major iteration of the generic CLEAN with the
+subminor optimization through the public Radler API on the default JAX
+device (the real TPU chip under the driver), and reports minor-loop
+iterations per second excluding compilation (a warm-up major iteration on
+identical shapes is run first).
+
+``vs_baseline`` compares against a single-host NumPy Högbom loop (argmax +
+PSF-patch subtraction, the reference's algorithmic core) timed on this
+machine — the C++ reference itself is not buildable here (its vendored
+aocommon/schaapcommon submodules are empty in the mount), so the baseline is
+measured, not copied; see BASELINE.md.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def make_problem(size: int, n_sources: int, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    psf = np.zeros((size, size), np.float32)
+    yy, xx = np.mgrid[0:size, 0:size]
+    r2 = (yy - size // 2) ** 2.0 + (xx - size // 2) ** 2.0
+    psf += np.exp(-r2 / (2.0 * 2.5**2)).astype(np.float32)
+    # Faint sidelobe ring so the candidate set is non-trivial.
+    ring = np.exp(-((np.sqrt(r2) - 12.0) ** 2) / (2.0 * 2.0**2))
+    psf += 0.08 * ring.astype(np.float32)
+    sky = np.zeros((size, size), np.float32)
+    margin = size // 8
+    ys = rng.integers(margin, size - margin, n_sources)
+    xs = rng.integers(margin, size - margin, n_sources)
+    amps = rng.uniform(0.2, 1.0, n_sources).astype(np.float32)
+    np.add.at(sky, (ys, xs), amps)
+    # Residual = sky convolved with the PSF (wrap-free via FFT padding).
+    import jax.numpy as jnp
+    from radler_tpu.ops.convolution import padded_convolve
+
+    residual = np.asarray(padded_convolve(jnp.asarray(sky), jnp.asarray(psf)))
+    return psf, residual.astype(np.float32)
+
+
+def run_radler_tpu(psf, residual, n_iter: int):
+    import radler_tpu as rd
+
+    size = residual.shape[0]
+
+    def one_run(res_in):
+        model = np.zeros_like(res_in)
+        res = res_in.copy()
+        s = rd.Settings()
+        s.trimmed_image_width = size
+        s.trimmed_image_height = size
+        s.minor_iteration_count = n_iter
+        s.absolute_threshold = 0.05
+        s.minor_loop_gain = 0.1
+        r = rd.Radler(s, psf, res, model, 0.0)
+        t0 = time.perf_counter()
+        r.perform(0)
+        dt = time.perf_counter() - t0
+        return r.iteration_number, dt
+
+    one_run(residual)  # warm-up/compile at identical shapes
+    iters, dt = one_run(residual)
+    return iters, dt
+
+
+def run_numpy_baseline(psf, residual, n_iter: int, gain: float = 0.1):
+    """Single-host NumPy Högbom core: argmax + PSF-patch subtract."""
+    res = residual.copy()
+    size = res.shape[0]
+    half = size // 2
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        idx = np.abs(res).argmax()
+        y, x = divmod(idx, size)
+        v = res[y, x] * gain
+        y0, y1 = max(0, y - half), min(size, y + half)
+        x0, x1 = max(0, x - half), min(size, x + half)
+        py0, px0 = y0 - (y - half), x0 - (x - half)
+        res[y0:y1, x0:x1] -= v * psf[py0 : py0 + (y1 - y0), px0 : px0 + (x1 - x0)]
+    dt = time.perf_counter() - t0
+    return n_iter, dt
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--size", type=int, default=4096)
+    parser.add_argument("--sources", type=int, default=300)
+    parser.add_argument("--iters", type=int, default=2000)
+    parser.add_argument("--baseline-iters", type=int, default=100)
+    args = parser.parse_args()
+
+    psf, residual = make_problem(args.size, args.sources)
+
+    iters, dt = run_radler_tpu(psf, residual, args.iters)
+    tpu_ips = iters / dt if dt > 0 else 0.0
+
+    b_iters, b_dt = run_numpy_baseline(psf, residual, args.baseline_iters)
+    cpu_ips = b_iters / b_dt if b_dt > 0 else 0.0
+
+    print(
+        f"[bench] radler_tpu: {iters} minor iterations in {dt:.3f}s "
+        f"({tpu_ips:.1f} it/s) at {args.size}^2",
+        file=sys.stderr,
+    )
+    print(
+        f"[bench] numpy hogbom baseline: {b_iters} iters in {b_dt:.3f}s "
+        f"({cpu_ips:.1f} it/s)",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"clark_minor_loop_iterations_per_s_{args.size}sq",
+                "value": round(tpu_ips, 2),
+                "unit": "iterations/s",
+                "vs_baseline": round(tpu_ips / cpu_ips, 2) if cpu_ips else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,12 +1,819 @@
-"""IUWT wavelet-sparsity deconvolution — placeholder.
+"""IUWT (MORESANE-like) wavelet-sparsity deconvolution.
 
-See ``cpp/algorithms/iuwt_deconvolution_algorithm.cc``; lands in the IUWT
-milestone.
+Behavioral equivalent of ``cpp/algorithms/iuwt_deconvolution_algorithm.{h,cc}``
+and the facade ``cpp/algorithms/iuwt_deconvolution.h``:
+
+per iteration — decompose the integrated residual, derive per-scale MAD
+thresholds, pick the most significant scale/peak with PSF-response
+normalization, flood-fill a cross-scale structure mask, optionally trim to a
+bounding box, solve the masked conjugate-gradient system so that the masked
+IUWT of (model ⊛ PSF) matches the masked dirty image, guard against RMS
+increase, refit per-image flux factors, apply the gain-scaled model, and
+escalate scales on failure.
+
+TPU mapping: the wavelet transform, circular FFT convolutions, CG iterations
+and reductions run as jitted device code; the (inherently sequential)
+flood-fill structure selection reduces to thresholding + connected-component
+labeling, done host-side with ``scipy.ndimage`` on bitmasks.
 """
-from .base import DeconvolutionAlgorithm
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops import iuwt as iuwt_ops
+from ..ops.convolution import convolve_same, trim, untrim
+from ..ops.noise import rms as rms_op
+from ..image_set import get_linear_integrated, get_integrated_psf
+from ..utils import logging as log
+from .base import DeconvolutionAlgorithm, DeconvolutionResult
+
+try:
+    from scipy import ndimage as _ndimage
+except Exception:  # pragma: no cover
+    _ndimage = None
+
+
+def _mad_sigma(image: jnp.ndarray) -> float:
+    """MAD(|x|) / 0.674559 (``iuwt_deconvolution_algorithm.cc:104-110``).
+
+    Note the reference takes the median of |x| (not of |x - median|)."""
+    v = jnp.abs(image).reshape(-1)
+    mid = v.shape[0] // 2
+    return float(jnp.sort(v)[mid]) / 0.674559
+
+
+def _exceeds(values: np.ndarray, threshold: float) -> np.ndarray:
+    """``ExceedsThreshold`` (``image_analysis.cc:9-15``)."""
+    if threshold >= 0.0:
+        return values > threshold
+    return (values < threshold) | (values > -threshold)
+
+
+class _IuwtEngine:
+    """One ``IuwtDeconvolutionAlgorithm`` run (reference class of the same
+    name); holds per-run geometry + PSF response state."""
+
+    def __init__(
+        self,
+        width: int,
+        height: int,
+        minor_loop_gain: float,
+        major_loop_gain: float,
+        clean_border: float,
+        allow_negative_components: bool,
+        mask: Optional[np.ndarray],
+        absolute_threshold: float,
+        threshold_sigma_level: float = 4.0,
+        tolerance: float = 0.75,
+    ):
+        self.width = width
+        self.height = height
+        self.minor_loop_gain = minor_loop_gain
+        self.major_loop_gain = major_loop_gain
+        self.clean_border = clean_border
+        self.mask = mask
+        self.absolute_threshold = absolute_threshold
+        self.threshold_sigma_level = threshold_sigma_level
+        self.tolerance = tolerance
+        self.allow_negative = allow_negative_components
+        self.psf_rms: Optional[np.ndarray] = None
+        self.psf_peak_response: Optional[np.ndarray] = None
+        self.psf_peak_response_to_next: Optional[np.ndarray] = None
+        self.rmses: Optional[np.ndarray] = None
+        # Current bounding box during trimmed recursion.
+        self.box = (0, 0, width, height)
+
+    # -- PSF characterization (``MeasureRMSPerScale``) -------------------
+    def measure_rms_per_scale(self, psf: jnp.ndarray, end_scale: int) -> None:
+        scales = iuwt_ops.decompose(psf, end_scale)
+        self.psf_rms = np.array(
+            [float(rms_op(scales[s])) for s in range(end_scale)]
+        )
+        cy, cx = self.height // 2, self.width // 2
+        self.psf_peak_response = np.array(
+            [float(scales[s, cy, cx]) for s in range(end_scale)]
+        )
+        next_scales = iuwt_ops.decompose(scales[1], end_scale)
+        self.psf_peak_response_to_next = np.array(
+            [float(next_scales[s, cy, cx]) for s in range(end_scale)]
+        )
+
+    # -- peak search ------------------------------------------------------
+    def _get_max_abs(
+        self, data: jnp.ndarray, width: int, height: int
+    ) -> Tuple[float, int, int]:
+        """``GetMaxAbs{With,Without}Mask``
+        (``iuwt_deconvolution_algorithm.cc:112-167``)."""
+        x_border = int(self.clean_border * width)
+        y_border = int(self.clean_border * height)
+        window = np.zeros((height, width), dtype=bool)
+        window[
+            y_border : height - y_border, x_border : width - x_border
+        ] = True
+        if self.mask is not None and self.mask.shape == (height, width):
+            window &= self.mask
+        value = jnp.abs(data) if self.allow_negative else data
+        masked = jnp.where(jnp.asarray(window), value, -jnp.inf)
+        idx = int(jnp.argmax(masked.reshape(-1)))
+        y, x = divmod(idx, width)
+        return float(masked.reshape(-1)[idx]), x, y
+
+    # -- structure selection ---------------------------------------------
+    def _select_structures(
+        self,
+        coeffs: np.ndarray,  # [S+1, H, W] (host)
+        thresholds: np.ndarray,
+        min_scale: int,
+        end_scale: int,
+        prior_mask: Optional[np.ndarray],
+        width: int,
+        height: int,
+    ) -> Tuple[np.ndarray, int]:
+        """``image_analysis::SelectStructures`` (``image_analysis.cc:217-249``).
+
+        Because every above-threshold pixel seeds a flood fill bounded to
+        above-threshold pixels, the resulting mask is exactly the windowed
+        threshold-exceedance set; no sequential walk is needed.
+        """
+        x_border = int(self.clean_border * width)
+        y_border = int(self.clean_border * height)
+        mask = np.zeros((end_scale, height, width), dtype=bool)
+        window = np.zeros((height, width), dtype=bool)
+        window[
+            y_border : height - y_border, x_border : width - x_border
+        ] = True
+        if prior_mask is not None:
+            window = window & prior_mask
+        for scale in range(min_scale, end_scale):
+            mask[scale] = _exceeds(coeffs[scale], thresholds[scale]) & window
+        return mask, int(mask.sum())
+
+    # -- conjugate gradient -----------------------------------------------
+    def _run_conjugate_gradient(
+        self,
+        coeffs: jnp.ndarray,  # masked IUWT of the dirty [S+1,H,W]
+        mask: jnp.ndarray,  # [S,H,W] bool
+        masked_dirty: jnp.ndarray,
+        psf_kernel_image: jnp.ndarray,  # full-size psf (kernel center at H/2,W/2)
+        n_scales: int,
+        width: int,
+        height: int,
+    ) -> Tuple[Optional[jnp.ndarray], bool]:
+        """``RunConjugateGradient``
+        (``iuwt_deconvolution_algorithm.cc:326-407``): solve for the structure
+        model under the masked-IUWT-of-convolution operator."""
+        initial_dirty_scales = coeffs
+
+        def forward(img):
+            conv = convolve_same(img, psf_kernel_image)
+            sc = iuwt_ops.decompose(conv, n_scales)
+            sc = iuwt_ops.apply_mask(sc, mask)
+            return sc
+
+        def recomposed(sc):
+            return iuwt_ops.recompose(sc, n_scales, False)
+
+        gradient = masked_dirty
+        structure_model = jnp.zeros((height, width), jnp.float32)
+        residual = masked_dirty
+        model_snr = 0.0
+        model_scales = None
+        for minor_iter in range(20):
+            scratch_scales = forward(gradient)
+            scratch = recomposed(scratch_scales)
+            gradient_dot_scratch = float(jnp.vdot(gradient, scratch))
+            if gradient_dot_scratch == 0.0:
+                return None, False
+            residual_dot = float(jnp.vdot(residual, residual))
+            step_size = residual_dot / gradient_dot_scratch
+            structure_model = structure_model + step_size * gradient
+            if residual_dot == 0.0:
+                return None, False
+            residual = residual - step_size * scratch
+            grad_step = float(jnp.vdot(residual, residual)) / residual_dot
+            gradient = residual + grad_step * gradient
+
+            model_scales = forward(structure_model)
+            previous_snr = model_snr
+            model_snr = self._snr(model_scales, initial_dirty_scales, n_scales)
+            if model_snr > 100 and minor_iter > 2:
+                log.debug(f"CG converged after {minor_iter} iterations.")
+                return structure_model, True
+            if model_snr < previous_snr and minor_iter > 5 and model_snr > 3:
+                log.debug(
+                    f"CG SNR decreased after {minor_iter} iterations "
+                    f"(SNR={model_snr})."
+                )
+                return structure_model, True
+        if model_snr <= 3.0:
+            log.debug(f"CG failed to converge (SNR={model_snr}).")
+            return None, False
+        return structure_model, True
+
+    @staticmethod
+    def _snr(model_scales, dirty_scales, n_scales: int) -> float:
+        """``Snr`` (``iuwt_deconvolution_algorithm.cc:311-324``)."""
+        m = model_scales[: n_scales + 1]
+        n = dirty_scales[: n_scales + 1]
+        m_sum = float(jnp.sum(m * m))
+        n_sum = float(jnp.sum((m - n) * (m - n)))
+        return m_sum / n_sum if n_sum != 0.0 else np.inf
+
+    # -- bounding boxes ----------------------------------------------------
+    @staticmethod
+    def _bounding_box(image: np.ndarray) -> Tuple[int, int, int, int]:
+        """1%-of-max support box (``BoundingBox``,
+        ``iuwt_deconvolution_algorithm.cc:180-215``)."""
+        height, width = image.shape
+        m = float(np.max(np.abs(image)))
+        significant = np.abs(image) > m * 0.01
+        ys, xs = np.nonzero(significant)
+        if len(xs) == 0:
+            return 0, 0, width, height
+        return int(xs.min()), int(ys.min()), int(xs.max()) + 1, int(ys.max()) + 1
+
+    @staticmethod
+    def _adjust_box(
+        x1: int, y1: int, x2: int, y2: int, width: int, height: int,
+        end_scale: int,
+    ) -> Tuple[int, int, int, int]:
+        """Pad the box by 50%, enforce a minimum size and /8 alignment
+        (``AdjustBox``, ``iuwt_deconvolution_algorithm.cc:217-262``)."""
+        min_box_size = max(
+            128, iuwt_ops.min_image_dimension(end_scale) * 3 // 2
+        )
+        box_width = x2 - x1
+        box_height = y2 - y1
+        new_x1 = int(x1 - 0.5 * box_width)
+        new_x2 = int(x2 + 0.5 * box_width)
+        new_y1 = int(y1 - 0.5 * box_height)
+        new_y2 = int(y2 + 0.5 * box_height)
+        if new_x2 - new_x1 < min_box_size:
+            mid = (x1 + x2) // 2
+            new_x1 = mid - min_box_size // 2
+            new_x2 = mid + min_box_size // 2
+        if new_y2 - new_y1 < min_box_size:
+            mid = (y1 + y2) // 2
+            new_y1 = mid - min_box_size // 2
+            new_y2 = mid + min_box_size // 2
+        x1 = new_x1 if new_x1 >= 0 else 0
+        x2 = new_x2 if new_x2 < width else width
+        y1 = new_y1 if new_y1 >= 0 else 0
+        y2 = new_y2 if new_y2 < height else height
+        while (x2 - x1) % 8 != 0:
+            x2 -= 1
+        while (y2 - y1) % 8 != 0:
+            y2 -= 1
+        return x1, y1, x2, y2
+
+    # -- structure find+deconvolve ----------------------------------------
+    def find_and_deconvolve_structure(
+        self,
+        dirty: jnp.ndarray,
+        psf: jnp.ndarray,
+        psfs: jnp.ndarray,  # [C, H, W]
+        structure_model_full: jnp.ndarray,  # [N, H, W]
+        dirty_set,
+        cur_end_scale: int,
+        cur_min_scale: int,
+        max_components: List,
+    ) -> Tuple[bool, jnp.ndarray]:
+        """``FindAndDeconvolveStructure``
+        (``iuwt_deconvolution_algorithm.cc:414-498``)."""
+        width, height = self.width, self.height
+        coeffs = iuwt_ops.decompose(dirty, cur_end_scale)
+        self.rmses = np.array(
+            [_mad_sigma(coeffs[s]) for s in range(cur_end_scale)]
+        )
+        thresholds = self.rmses * (self.threshold_sigma_level * 4.0 / 5.0)
+
+        max_components.clear()
+        for scale in range(cur_end_scale):
+            val, x, y = self._get_max_abs(coeffs[scale], width, height)
+            max_components.append(
+                {"x": x, "y": y, "scale": scale, "val": val}
+            )
+
+        max_val = -1.0
+        max_x = max_y = 0
+        max_val_scale = -1
+        for scale in range(cur_end_scale):
+            comp = max_components[scale]
+            abs_coef = comp["val"] / self.psf_rms[scale]
+            if (
+                scale >= cur_min_scale
+                and abs_coef > max_val
+                and comp["val"]
+                > self.rmses[scale] * self.threshold_sigma_level
+                and comp["val"]
+                > self.rmses[scale] / self.rmses[0] * self.absolute_threshold
+            ):
+                max_x = comp["x"]
+                max_y = comp["y"]
+                max_val_scale = scale
+                if scale == 0:
+                    lowest_rms = min(self.psf_rms[0], self.psf_rms[1])
+                    max_val = (
+                        comp["val"]
+                        / lowest_rms
+                        * self.psf_peak_response[1]
+                        / self.psf_peak_response_to_next[0]
+                    )
+                else:
+                    max_val = abs_coef
+        if max_val_scale == -1:
+            log.debug("No significant pixel found.")
+            return False, structure_model_full
+
+        max_val = float(coeffs[max_val_scale, max_y, max_x])
+        log.debug(
+            f"Most significant pixel: {max_x},{max_y}={max_val} "
+            f"({max_val / self.rmses[max_val_scale]} sigma) on scale "
+            f"{max_val_scale}"
+        )
+        if abs(max_val) < thresholds[max_val_scale]:
+            log.debug("Most significant pixel is in the noise, stopping.")
+            return False, structure_model_full
+
+        scale_max_abs = abs(max_val)
+        thresholds = np.maximum(thresholds, self.tolerance * scale_max_abs)
+        if max_val < 0.0:
+            thresholds = -thresholds
+
+        return self._fill_and_deconvolve_structure(
+            coeffs,
+            dirty,
+            structure_model_full,
+            psf,
+            psfs,
+            dirty_set,
+            cur_end_scale,
+            cur_min_scale,
+            width,
+            height,
+            thresholds,
+            (max_x, max_y, max_val_scale),
+            allow_trimming=True,
+            prior_mask=self.mask,
+        )
+
+    def _fill_and_deconvolve_structure(
+        self,
+        coeffs: jnp.ndarray,
+        dirty: jnp.ndarray,
+        structure_model_full: jnp.ndarray,
+        psf: jnp.ndarray,
+        psfs: jnp.ndarray,
+        dirty_set,
+        cur_end_scale: int,
+        cur_min_scale: int,
+        width: int,
+        height: int,
+        thresholds: np.ndarray,
+        max_comp: Tuple[int, int, int],
+        allow_trimming: bool,
+        prior_mask: Optional[np.ndarray],
+    ) -> Tuple[bool, jnp.ndarray]:
+        """``FillAndDeconvolveStructure``
+        (``iuwt_deconvolution_algorithm.cc:500-626``)."""
+        mask_np, area_size = self._select_structures(
+            np.asarray(coeffs),
+            thresholds,
+            cur_min_scale,
+            cur_end_scale,
+            prior_mask,
+            width,
+            height,
+        )
+        log.debug(
+            f"Flood-filled area contains {area_size} significant components."
+        )
+        mask = jnp.asarray(mask_np)
+        masked_scales = iuwt_ops.apply_mask(coeffs, mask)
+        recomposed = iuwt_ops.recompose(masked_scales, cur_end_scale, False)
+
+        x1, y1, x2, y2 = self._bounding_box(np.asarray(recomposed))
+        x1, y1, x2, y2 = self._adjust_box(
+            x1, y1, x2, y2, width, height, max_comp[2] + 1
+        )
+        if allow_trimming and ((x2 - x1) < width or (y2 - y1) < height):
+            self.box = (x1, y1, x2, y2)
+            new_width, new_height = x2 - x1, y2 - y1
+            small_dirty = dirty[y1:y2, x1:x2]
+            small_psf = self._trim_psf(psf, new_width, new_height)
+            max_scale = max(
+                iuwt_ops.end_scale(min(new_width, new_height)),
+                max_comp[2] + 1,
+            )
+            if max_scale < cur_end_scale:
+                log.debug(
+                    f"Bounding box too small for largest scale of "
+                    f"{cur_end_scale} -- ignoring scales>={max_scale}."
+                )
+                cur_end_scale = max_scale
+            trimmed_coeffs = jnp.concatenate(
+                [
+                    coeffs[:cur_end_scale, y1:y2, x1:x2],
+                    jnp.zeros((1, new_height, new_width), jnp.float32),
+                ]
+            )
+            trimmed_model = structure_model_full[:, y1:y2, x1:x2]
+            trimmed_prior = (
+                None if prior_mask is None else prior_mask[y1:y2, x1:x2]
+            )
+            success, trimmed_model = self._fill_and_deconvolve_structure(
+                trimmed_coeffs,
+                small_dirty,
+                trimmed_model,
+                small_psf,
+                psfs,
+                dirty_set,
+                cur_end_scale,
+                cur_min_scale,
+                new_width,
+                new_height,
+                thresholds,
+                (max_comp[0] - x1, max_comp[1] - y1, max_comp[2]),
+                allow_trimming=False,
+                prior_mask=trimmed_prior,
+            )
+            padded = jnp.zeros_like(structure_model_full)
+            padded = padded.at[:, y1:y2, x1:x2].set(trimmed_model)
+            self.box = (0, 0, width, height)
+            return success, padded
+
+        # Un-trimmed path: masked CG solve.
+        dirty_scales = iuwt_ops.decompose(dirty, cur_end_scale)
+        masked_dirty_scales = iuwt_ops.apply_mask(dirty_scales, mask)
+        masked_dirty = iuwt_ops.recompose(
+            masked_dirty_scales, cur_end_scale, False
+        )
+        structure_model, success = self._run_conjugate_gradient(
+            masked_dirty_scales,
+            mask,
+            masked_dirty,
+            psf,
+            cur_end_scale,
+            width,
+            height,
+        )
+        if not success:
+            return False, structure_model_full
+
+        rms_before = float(rms_op(dirty))
+        conv_model = convolve_same(structure_model, psf)
+        rms_after = float(
+            rms_op(dirty - self.minor_loop_gain * conv_model)
+        )
+        if rms_after > rms_before:
+            log.debug(f"RMS got worse: {rms_before} -> {rms_after}")
+            return False, structure_model_full
+
+        structure_model_full = self._perform_sub_image_fit_all(
+            mask_np,
+            structure_model,
+            max_comp,
+            structure_model_full,
+            psf,
+            psfs,
+            dirty,
+            dirty_set,
+            cur_end_scale,
+            width,
+            height,
+        )
+        return True, structure_model_full
+
+    @staticmethod
+    def _trim_psf(psf: jnp.ndarray, new_width: int, new_height: int):
+        """``TrimPsf`` — centered trim (``iuwt_deconvolution_algorithm.h``)."""
+        return trim(psf, new_height, new_width)
+
+    # -- per-image flux refits --------------------------------------------
+    def _perform_sub_image_fit_all(
+        self,
+        mask_np: np.ndarray,
+        structure_model: jnp.ndarray,
+        max_comp: Tuple[int, int, int],
+        fitted_model_full: jnp.ndarray,  # [N, H_full, W_full]
+        psf: jnp.ndarray,
+        psfs: jnp.ndarray,
+        dirty: jnp.ndarray,
+        dirty_set,
+        n_scales: int,
+        width: int,
+        height: int,
+    ) -> jnp.ndarray:
+        """``PerformSubImageFitAll``
+        (``iuwt_deconvolution_algorithm.cc:628-671``)."""
+        # The box locates this (possibly trimmed) working area inside the
+        # full-size dirty_set; fitted_model_full is already working-area-sized.
+        x1, y1, x2, y2 = self.box
+        n_images = fitted_model_full.shape[0]
+        if n_images == 1:
+            out = jnp.zeros_like(fitted_model_full)
+            return out.at[0].set(structure_model)
+
+        mask = jnp.asarray(mask_np)
+        correction_factors: List[float] = []
+        self._sub_image_fit_single(
+            mask,
+            structure_model,
+            max_comp,
+            psf,
+            dirty,
+            None,
+            correction_factors,
+            n_scales,
+            width,
+            height,
+        )
+        out = jnp.zeros_like(fitted_model_full)
+        meta = dirty_set.meta
+        for img_index in range(n_images):
+            sub_psf_full = psfs[meta.psf_index(img_index)]
+            sub_dirty = dirty_set.data[img_index][y1:y2, x1:x2]
+            if sub_psf_full.shape != (height, width):
+                sub_psf = self._trim_psf(sub_psf_full, width, height)
+            else:
+                sub_psf = sub_psf_full
+            fitted = self._sub_image_fit_single(
+                mask,
+                structure_model,
+                max_comp,
+                sub_psf,
+                sub_dirty,
+                jnp.zeros((height, width), jnp.float32),
+                correction_factors,
+                n_scales,
+                width,
+                height,
+            )
+            out = out.at[img_index].set(fitted)
+        return out
+
+    def _sub_image_fit_single(
+        self,
+        mask: jnp.ndarray,
+        structure_model: jnp.ndarray,
+        max_comp: Tuple[int, int, int],
+        psf: jnp.ndarray,
+        sub_dirty: jnp.ndarray,
+        fitted_sub_model: Optional[jnp.ndarray],
+        correction_factors: List[float],
+        n_scales: int,
+        width: int,
+        height: int,
+    ) -> Optional[jnp.ndarray]:
+        """``PerformSubImageFitSingle``
+        (``iuwt_deconvolution_algorithm.cc:673-742``): for every connected
+        component of the structure model, measure the per-image flux factor
+        through the masked-IUWT operator."""
+        dirty_scales = iuwt_ops.decompose(sub_dirty, n_scales)
+        masked_dirty = iuwt_ops.recompose(
+            iuwt_ops.apply_mask(dirty_scales, mask), n_scales, False
+        )
+        model_host = np.asarray(structure_model)
+        peak_level = abs(model_host[max_comp[1], max_comp[0]])
+        threshold = peak_level * 1e-4
+        significant = np.abs(model_host) > threshold
+        if _ndimage is None:
+            raise RuntimeError("scipy is required for IUWT component labeling")
+        labels, n_components = _ndimage.label(significant)
+        fitted = fitted_sub_model
+        comp_index = 0
+        # Iterate components in the reference's raster-seed order.
+        seen = set()
+        ys_all, xs_all = np.nonzero(significant)
+        order = np.argsort(ys_all * width + xs_all, kind="stable")
+        for k in order:
+            lbl = labels[ys_all[k], xs_all[k]]
+            if lbl in seen:
+                continue
+            seen.add(lbl)
+            area = labels == lbl
+            ys, xs = np.nonzero(area)
+            bx1, bx2 = int(xs.min()), int(xs.max())
+            by1, by2 = int(ys.min()), int(ys.max())
+            bx1, by1, bx2, by2 = self._adjust_box(
+                bx1, by1, bx2, by2, width, height, n_scales
+            )
+            component_model = jnp.where(
+                jnp.asarray(area), structure_model, 0.0
+            )
+            factor = self._component_fit_boxed(
+                mask,
+                component_model,
+                masked_dirty,
+                psf,
+                area,
+                bx1,
+                by1,
+                bx2,
+                by2,
+                n_scales,
+                width,
+                height,
+            )
+            if fitted is not None:
+                integrated_factor = correction_factors[comp_index]
+                if (
+                    math.isfinite(factor)
+                    and math.isfinite(integrated_factor)
+                    and integrated_factor != 0.0
+                ):
+                    fitted = fitted + jnp.where(
+                        jnp.asarray(area),
+                        structure_model * (factor / integrated_factor),
+                        0.0,
+                    )
+                comp_index += 1
+            else:
+                correction_factors.append(factor)
+        return fitted
+
+    def _component_fit_boxed(
+        self,
+        mask: jnp.ndarray,
+        model: jnp.ndarray,
+        masked_dirty: jnp.ndarray,
+        psf: jnp.ndarray,
+        area: np.ndarray,
+        x1: int,
+        y1: int,
+        x2: int,
+        y2: int,
+        n_scales: int,
+        width: int,
+        height: int,
+    ) -> float:
+        """``PerformSubImageComponentFitBoxed`` + ``...Fit``
+        (``iuwt_deconvolution_algorithm.cc:744-801``)."""
+        if x1 > 0 or y1 > 0 or x2 < width or y2 < height:
+            small_model = model[y1:y2, x1:x2]
+            small_mask = mask[:, y1:y2, x1:x2]
+            small_psf = self._trim_psf(psf, x2 - x1, y2 - y1)
+            small_dirty = masked_dirty[y1:y2, x1:x2]
+            small_area = area[y1:y2, x1:x2]
+            return self._component_fit(
+                small_mask, small_model, small_dirty, small_psf, small_area,
+                n_scales,
+            )
+        return self._component_fit(
+            mask, model, masked_dirty, psf, area, n_scales
+        )
+
+    @staticmethod
+    def _component_fit(
+        mask: jnp.ndarray,
+        model: jnp.ndarray,
+        masked_dirty: jnp.ndarray,
+        psf: jnp.ndarray,
+        area: np.ndarray,
+        n_scales: int,
+    ) -> float:
+        conv = convolve_same(model, psf)
+        scales = iuwt_ops.decompose(conv, n_scales)
+        masked_model = iuwt_ops.recompose(
+            iuwt_ops.apply_mask(scales, mask), n_scales, False
+        )
+        area_j = jnp.asarray(area)
+        model_sum = float(jnp.sum(jnp.where(area_j, masked_model, 0.0)))
+        dirty_sum = float(jnp.sum(jnp.where(area_j, masked_dirty, 0.0)))
+        if model_sum == 0.0 or not math.isfinite(dirty_sum) or not math.isfinite(
+            model_sum
+        ):
+            return 0.0
+        return dirty_sum / model_sum
+
+    # -- the major iteration ----------------------------------------------
+    def perform_major_iteration(
+        self,
+        iter_counter: int,
+        n_iter: int,
+        model_set,
+        dirty_set,
+        psfs: jnp.ndarray,
+    ) -> Tuple[float, bool, int]:
+        """``PerformMajorIteration``
+        (``iuwt_deconvolution_algorithm.cc:803-918``).
+        Returns (max_value, reached_major_threshold, iter_counter)."""
+        reached_major_threshold = False
+        if iter_counter == n_iter:
+            return 0.0, False, iter_counter
+        meta = dirty_set.meta
+        width, height = self.width, self.height
+
+        dirty = get_linear_integrated(dirty_set.data, meta)
+        psf = get_integrated_psf(psfs, meta)
+
+        max_scale = iuwt_ops.end_scale(min(width, height))
+        cur_end_scale = 2
+
+        log.debug("Measuring PSF...")
+        self.measure_rms_per_scale(psf, max_scale)
+
+        structure_model = jnp.zeros_like(dirty_set.data)
+        max_value = 0.0
+        cur_min_scale = 0
+        do_continue = True
+        initial_components: List[dict] = []
+        while True:
+            log.debug(f"*** Deconvolution iteration {iter_counter} ***")
+            dirty_before = dirty
+            max_components: List[dict] = []
+            succeeded, new_structure = self.find_and_deconvolve_structure(
+                dirty,
+                psf,
+                psfs,
+                structure_model,
+                dirty_set,
+                cur_end_scale,
+                cur_min_scale,
+                max_components,
+            )
+            if succeeded:
+                structure_scaled = new_structure * self.minor_loop_gain
+                model_set.data = model_set.data + structure_scaled
+                # dirty -= structure (x) psf, per image with its channel PSF.
+                C = meta.n_channels
+                P = meta.n_polarizations
+                model_c = structure_scaled.reshape(C, P, height, width)
+                conv = convolve_same(model_c, psfs[:, None, :, :])
+                dirty_set.data = dirty_set.data - conv.reshape(
+                    C * P, height, width
+                )
+                dirty = get_linear_integrated(dirty_set.data, meta)
+
+                while len(max_components) > len(initial_components):
+                    initial_components.append(
+                        max_components[len(initial_components)]
+                    )
+                max_value = 0.0
+                for c in range(len(initial_components)):
+                    max_value = max(max_value, max_components[c]["val"])
+                    if abs(max_components[c]["val"]) < abs(
+                        initial_components[c]["val"]
+                    ) * (1.0 - self.major_loop_gain):
+                        reached_major_threshold = True
+                if reached_major_threshold:
+                    # NB: the reference's break skips the counter increment
+                    # (iuwt_deconvolution_algorithm.cc:895,915).
+                    break
+            else:
+                if cur_min_scale + 1 < cur_end_scale:
+                    cur_min_scale += 1
+                    log.debug(f"=> Min scale now {cur_min_scale}")
+                else:
+                    cur_min_scale = 0
+                    if cur_end_scale != max_scale:
+                        cur_end_scale += 1
+                        log.debug(f"=> Scale now {cur_end_scale}.")
+                    else:
+                        log.debug(
+                            "Max scale reached: finished all scales, quiting."
+                        )
+                        do_continue = False
+                dirty = dirty_before
+            iter_counter += 1
+            if iter_counter == n_iter or not do_continue:
+                break
+        return max_value, reached_major_threshold, iter_counter
 
 
 class IuwtDeconvolution(DeconvolutionAlgorithm):
-    def __init__(self):
-        super().__init__()
-        raise NotImplementedError("IUWT deconvolution is not implemented yet")
+    """Facade adapting the IUWT engine to the algorithm interface
+    (``cpp/algorithms/iuwt_deconvolution.h:19-43``)."""
+
+    def execute_major_iteration(
+        self, dirty_set, model_set, psfs: jnp.ndarray
+    ) -> DeconvolutionResult:
+        engine = _IuwtEngine(
+            dirty_set.width,
+            dirty_set.height,
+            self.minor_loop_gain,
+            self.major_loop_gain,
+            self.clean_border_ratio,
+            self.allow_negative_components,
+            self.clean_mask,
+            self.threshold,
+        )
+        result = DeconvolutionResult()
+        final_peak, another, iters = engine.perform_major_iteration(
+            self.iteration_number,
+            self.max_iterations,
+            model_set,
+            dirty_set,
+            psfs,
+        )
+        result.final_peak_value = final_peak
+        result.another_iteration_required = another
+        self.iteration_number = iters
+        if self.iteration_number >= self.max_iterations:
+            result.another_iteration_required = False
+        return result

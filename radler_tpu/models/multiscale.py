@@ -1,14 +1,790 @@
-"""Multiscale CLEAN (Offringa & Smirnov 2017) — placeholder.
+"""Multiscale CLEAN (Offringa & Smirnov 2017).
 
-The full TPU-native implementation (scale kernel bank, per-scale biased peak
-search batched over scales, fixed-scale subminor loops, per-scale auto-masks)
-lands in the multiscale milestone; see ``cpp/algorithms/multiscale_algorithm.cc``.
+Behavioral equivalent of ``cpp/algorithms/multiscale_algorithm.{h,cc}``,
+redesigned TPU-first:
+
+* The per-scale convolved-peak search — one thread per scale with its own
+  image copy in the reference (``threaded_deconvolution_tools.cc:30-50``) —
+  becomes a single *batched FFT* of the integrated image against the whole
+  embedded kernel bank, followed by per-scale masked argmaxes.
+* The fixed-scale fast subminor loop reuses :class:`SubMinorLoop`
+  (``radler_tpu/models/subminor.py``) on the scale-convolved cube with
+  twice-convolved PSFs, exactly like ``multiscale_algorithm.cc:377-461``.
+* Scale state (bias factors, activation, per-scale masks and cleaning
+  statistics) persists across major iterations, as in the reference.
 """
-from .base import DeconvolutionAlgorithm
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..image_set import CubeMeta, get_integrated_psf, get_linear_integrated
+from ..component_list import ComponentList
+from ..ops.convolution import convolve_same
+from ..ops.multiscale_kernels import (
+    embedded_kernel,
+    kernel_peak_value,
+    add_shape_component,
+)
+from ..ops.noise import rms as rms_op
+from ..ops.peak_finder import find_peak, window_mask
+from ..ops.psf_subtract import subtract_psf_from_cube
+from ..settings import MultiscaleSettings, MultiscaleShape, OptimizationAlgorithm
+from ..utils.fft_size import get_convolution_size
+from ..utils import logging as log
+from .base import DeconvolutionAlgorithm, DeconvolutionResult
+from .subminor import SubMinorLoop
+
+
+@dataclasses.dataclass
+class ScaleInfo:
+    """Mirrors ``MultiScaleAlgorithm::ScaleInfo``."""
+
+    scale: float = 0.0
+    kernel_peak: float = 0.0
+    psf_peak: float = 0.0
+    bias_factor: float = 1.0
+    gain: float = 1.0
+    is_active: bool = True
+    n_components_cleaned: int = 0
+    total_flux_cleaned: float = 0.0
+    max_unnormalized_image_value: float = 0.0
+    max_normalized_image_value: float = 0.0
+    max_image_value_x: int = 0
+    max_image_value_y: int = 0
+    rms: float = -1.0
+
+
+def initialize_scales(
+    scales: List[ScaleInfo],
+    beam_size_in_pixels: float,
+    min_width_height: int,
+    shape: MultiscaleShape,
+    max_scales: int,
+    scale_list: List[float],
+) -> None:
+    """Beam-derived geometric scale series {0, 2b, 4b, ...} capped at half the
+    image (``multiscale_algorithm.cc:90-131``)."""
+    if not scale_list:
+        if not scales:
+            scale_index = 0
+            scale = beam_size_in_pixels * 2.0
+            while True:
+                entry = ScaleInfo()
+                entry.scale = 0.0 if scale_index == 0 else scale
+                entry.kernel_peak = kernel_peak_value(
+                    scale, min_width_height, shape
+                )
+                scales.append(entry)
+                scale *= 2.0
+                scale_index += 1
+                if not (
+                    scale < min_width_height * 0.5
+                    and (max_scales == 0 or scale_index < max_scales)
+                ):
+                    break
+        else:
+            while scales and scales[-1].scale >= min_width_height * 0.5:
+                scales.pop()
+    elif not scales:
+        for scale in sorted(scale_list):
+            entry = ScaleInfo()
+            entry.scale = scale
+            entry.kernel_peak = kernel_peak_value(scale, min_width_height, shape)
+            scales.append(entry)
+
+
+def select_maximum_scale(scales: List[ScaleInfo]) -> Optional[int]:
+    """Bias-weighted argmax over active scales
+    (``multiscale_algorithm.cc:133-151``)."""
+    best: Optional[int] = None
+    best_val = -1.0
+    for i, s in enumerate(scales):
+        if s.is_active:
+            val = abs(s.max_unnormalized_image_value * s.bias_factor)
+            if best is None or val >= best_val:
+                # note: the reference's map keeps the *last* insertion on
+                # ties, which is the highest scale index
+                best, best_val = i, val
+    return best
 
 
 class MultiScaleAlgorithm(DeconvolutionAlgorithm):
-    def __init__(self, settings, beam_size, pixel_scale_x, pixel_scale_y,
-                 track_components=False):
+    """``cpp/algorithms/multiscale_algorithm.{h,cc}``."""
+
+    def __init__(
+        self,
+        settings: MultiscaleSettings,
+        beam_size: float,
+        pixel_scale_x: float,
+        pixel_scale_y: float,
+        track_components: bool = False,
+    ):
         super().__init__()
-        raise NotImplementedError("Multiscale CLEAN is not implemented yet")
+        self.ms_settings = settings
+        pixel_scale = max(pixel_scale_x, pixel_scale_y)
+        self.beam_size_in_pixels = (
+            beam_size / pixel_scale if pixel_scale > 0.0 else 0.0
+        )
+        if self.beam_size_in_pixels <= 0.0:
+            self.beam_size_in_pixels = 1.0
+        self.track_per_scale_masks = False
+        self.use_per_scale_masks = False
+        self.track_components = track_components
+        self.scale_infos: List[ScaleInfo] = []
+        self.scale_masks: List[np.ndarray] = []
+        self._component_list: Optional[ComponentList] = None
+        self._kernel_cache: Dict[Tuple, jnp.ndarray] = {}
+
+    # -- plumbing used by ParallelDeconvolution ------------------------
+    def set_auto_mask_mode(self, track: bool, use: bool) -> None:
+        self.track_per_scale_masks = track
+        self.use_per_scale_masks = use
+
+    @property
+    def scale_count(self) -> int:
+        return len(self.scale_infos)
+
+    def scale_size(self, index: int) -> float:
+        return self.scale_infos[index].scale
+
+    def get_scale_mask_count(self) -> int:
+        return len(self.scale_masks)
+
+    def set_scale_mask_count(self, n: int) -> None:
+        while len(self.scale_masks) < n:
+            self.scale_masks.append(None)
+
+    def get_scale_mask(self, index: int) -> np.ndarray:
+        return self.scale_masks[index]
+
+    def set_scale_mask(self, index: int, mask: np.ndarray) -> None:
+        self.scale_masks[index] = mask
+
+    def get_component_list(self) -> ComponentList:
+        return self._component_list
+
+    def clear_component_list(self) -> None:
+        if self._component_list is not None:
+            self._component_list.clear()
+
+    def clone(self) -> "MultiScaleAlgorithm":
+        c = super().clone()
+        c.scale_infos = []
+        c.scale_masks = []
+        c._component_list = None
+        c._kernel_cache = {}
+        return c
+
+    # -- kernels -------------------------------------------------------
+    def _kernel(self, scale: float, height: int, width: int) -> jnp.ndarray:
+        key = (round(scale, 6), height, width, self.ms_settings.shape)
+        if key not in self._kernel_cache:
+            self._kernel_cache[key] = jnp.asarray(
+                embedded_kernel(scale, height, width, self.ms_settings.shape)
+            )
+        return self._kernel_cache[key]
+
+    def _scale_convolve(self, images: jnp.ndarray, scale: float) -> jnp.ndarray:
+        if scale == 0.0:
+            return images
+        h, w = images.shape[-2:]
+        return convolve_same(images, self._kernel(scale, h, w))
+
+    # -- PSF preparation (``ConvolvePsfs``, multiscale_algorithm.cc:29-88) --
+    def _convolve_psfs(
+        self, psf: jnp.ndarray, is_integrated: bool
+    ) -> List[jnp.ndarray]:
+        h, w = psf.shape
+        convolved = []
+        first_auto_scale_size = self.beam_size_in_pixels * 2.0
+        for i, entry in enumerate(self.scale_infos):
+            cp = (
+                self._scale_convolve(psf, entry.scale)
+                if entry.scale != 0.0
+                else psf
+            )
+            convolved.append(cp)
+            if is_integrated:
+                entry.psf_peak = float(cp[h // 2, w // 2])
+                if entry.scale == 0.0 or len(self.scale_infos) < 2:
+                    exp_term = 0.0
+                else:
+                    exp_term = math.log2(entry.scale / first_auto_scale_size)
+                entry.bias_factor = self.ms_settings.scale_bias ** (-exp_term)
+                entry.gain = self.minor_loop_gain / entry.psf_peak
+                entry.is_active = True
+                log.info(
+                    f"- Scale {round(entry.scale)}, bias factor="
+                    f"{round(entry.bias_factor * 10.0) / 10.0}, "
+                    f"psfpeak={entry.psf_peak}, gain={entry.gain}"
+                )
+        return convolved
+
+    # -- peak search over all active scales -----------------------------
+    def _find_active_scale_convolved_maxima(
+        self, integrated: jnp.ndarray, report_rms: bool
+    ) -> None:
+        """Batched equivalent of ``FindActiveScaleConvolvedMaxima``
+        (``multiscale_algorithm.cc:578-634``) +
+        ``FindSingleScalePeak`` (``threaded_deconvolution_tools.cc:52-107``)."""
+        h, w = integrated.shape
+        active = [
+            (i, s) for i, s in enumerate(self.scale_infos) if s.is_active
+        ]
+        conv_scales = [(i, s) for i, s in active if s.scale != 0.0]
+        if conv_scales:
+            bank = jnp.stack(
+                [self._kernel(s.scale, h, w) for _, s in conv_scales]
+            )  # [S, H, W]
+            convolved = convolve_same(
+                jnp.broadcast_to(integrated, bank.shape), bank
+            )
+        for i, entry in active:
+            if entry.scale == 0.0:
+                image = integrated
+                border_scale = 0
+            else:
+                pos = next(
+                    j for j, (idx, _) in enumerate(conv_scales) if idx == i
+                )
+                image = convolved[pos]
+                border_scale = int(math.ceil(entry.scale * 0.5))
+            x_border = max(
+                int(round(w * self.clean_border_ratio)), border_scale
+            )
+            y_border = max(
+                int(round(h * self.clean_border_ratio)), border_scale
+            )
+            if entry.scale == 0.0:
+                # FindPeakDirect uses the plain border ratio only.
+                x_border = int(round(w * self.clean_border_ratio))
+                y_border = int(round(h * self.clean_border_ratio))
+            if report_rms:
+                entry.rms = float(rms_op(image))
+            weighted = image
+            if self.rms_factor_image is not None:
+                weighted = image * self.rms_factor_image
+            if self.use_per_scale_masks and self.scale_masks:
+                mask = jnp.asarray(self.scale_masks[i])
+            elif self.clean_mask is not None:
+                mask = jnp.asarray(self.clean_mask)
+            else:
+                mask = None
+            pk = find_peak(
+                weighted,
+                self.allow_negative_components,
+                x_border,
+                y_border,
+                mask,
+            )
+            if bool(pk.found):
+                entry.max_unnormalized_image_value = float(pk.value)
+                entry.max_image_value_x = int(pk.x)
+                entry.max_image_value_y = int(pk.y)
+                if self.rms_factor_image is not None:
+                    entry.max_normalized_image_value = float(
+                        pk.value
+                    ) / float(self.rms_factor_image[int(pk.y), int(pk.x)])
+                else:
+                    entry.max_normalized_image_value = float(pk.value)
+            else:
+                entry.max_unnormalized_image_value = 0.0
+                entry.max_normalized_image_value = 0.0
+
+    def _activate_scales(self, scale_with_last_peak: int) -> None:
+        """``multiscale_algorithm.cc:636-656``."""
+        ref = self.scale_infos[scale_with_last_peak]
+        threshold = (
+            abs(ref.max_unnormalized_image_value)
+            * (1.0 - self.minor_loop_gain)
+            * ref.bias_factor
+        )
+        for i, s in enumerate(self.scale_infos):
+            do_activate = (
+                i == scale_with_last_peak
+                or abs(s.max_unnormalized_image_value) * s.bias_factor
+                > threshold
+            )
+            s.is_active = do_activate
+
+    # -- the major iteration -------------------------------------------
+    def execute_major_iteration(
+        self, dirty_set, model_set, psfs: jnp.ndarray
+    ) -> DeconvolutionResult:
+        meta: CubeMeta = dirty_set.meta
+        width, height = dirty_set.width, dirty_set.height
+        if self.stop_on_negative_components:
+            self.allow_negative_components = True
+
+        initialize_scales(
+            self.scale_infos,
+            self.beam_size_in_pixels,
+            min(width, height),
+            self.ms_settings.shape,
+            self.ms_settings.max_scales,
+            self.ms_settings.scale_list,
+        )
+
+        if self.track_per_scale_masks:
+            for mask in self.scale_masks:
+                if mask is not None and mask.shape != (height, width):
+                    raise RuntimeError(
+                        "Invalid automask size in multiscale algorithm"
+                    )
+            while len(self.scale_masks) < len(self.scale_infos):
+                self.scale_masks.append(None)
+            for i, mask in enumerate(self.scale_masks):
+                if mask is None:
+                    self.scale_masks[i] = np.zeros((height, width), dtype=bool)
+        if self.track_components:
+            if self._component_list is None:
+                self._component_list = ComponentList(
+                    width,
+                    height,
+                    len(self.scale_infos),
+                    dirty_set.n_images,
+                )
+            elif (
+                self._component_list.width != width
+                or self._component_list.height != height
+            ):
+                raise RuntimeError("Error in component list dimensions!")
+
+        result = DeconvolutionResult()
+        if self.component_optimization_algorithm != OptimizationAlgorithm.CLEAN:
+            self._run_full_component_fitter(dirty_set, model_set, psfs)
+            return result
+
+        has_hit_threshold_in_sub_loop = False
+        threshold_countdown = max(8, len(self.scale_infos) * 3 // 2)
+
+        # Convolved PSF banks: convolvedPSFs[chan][scale].
+        integrated_psf = get_integrated_psf(psfs, meta)
+        convolved_psfs: List[List[jnp.ndarray]] = [
+            self._convolve_psfs(integrated_psf, True)
+        ]
+        if meta.n_channels > 1:
+            convolved_psfs = [
+                self._convolve_psfs(psfs[c], False)
+                for c in range(meta.n_channels)
+            ]
+
+        integrated = get_linear_integrated(dirty_set.data, meta)
+        self._find_active_scale_convolved_maxima(integrated, report_rms=True)
+        scale_with_peak = select_maximum_scale(self.scale_infos)
+        if scale_with_peak is None:
+            log.warn("No peak found during multi-scale cleaning! Aborting.")
+            result.another_iteration_required = False
+            return result
+
+        is_final_threshold = False
+        peak_entry = self.scale_infos[scale_with_peak]
+        initial_peak_value = abs(
+            peak_entry.max_unnormalized_image_value * peak_entry.bias_factor
+        )
+        m_gain_threshold = initial_peak_value * (1.0 - self.major_loop_gain)
+        m_gain_threshold = max(m_gain_threshold, self.major_iteration_threshold)
+        first_threshold = m_gain_threshold
+        if self.threshold > first_threshold:
+            first_threshold = self.threshold
+            is_final_threshold = True
+
+        diverging = False
+
+        def current_biased_peak() -> float:
+            e = self.scale_infos[scale_with_peak]
+            return e.max_unnormalized_image_value * e.bias_factor
+
+        while (
+            self.iteration_number < self.max_iterations
+            and abs(current_biased_peak()) > first_threshold
+            and (
+                not self.stop_on_negative_components
+                or self.scale_infos[scale_with_peak].max_unnormalized_image_value
+                >= 0.0
+            )
+            and threshold_countdown > 0
+            and not diverging
+        ):
+            entry = self.scale_infos[scale_with_peak]
+            scale = entry.scale
+
+            # Twice-convolved PSFs + scale-convolved residual cube
+            # (multiscale_algorithm.cc:331-354), one batched FFT each.
+            twice_convolved_psfs = jnp.stack(
+                [
+                    self._scale_convolve(
+                        convolved_psfs[min(c, len(convolved_psfs) - 1)][
+                            scale_with_peak
+                        ],
+                        scale,
+                    )
+                    for c in range(meta.n_channels)
+                ]
+            )
+            individual_convolved = self._scale_convolve(dirty_set.data, scale)
+
+            sub_gain_threshold = abs(current_biased_peak()) * (
+                1.0 - self.ms_settings.sub_minor_loop_gain
+            )
+            first_sub_threshold = sub_gain_threshold
+            if first_threshold > first_sub_threshold:
+                first_sub_threshold = first_threshold
+                if not has_hit_threshold_in_sub_loop:
+                    log.info(
+                        "Subminor loop is near minor loop threshold. "
+                        "Initiating countdown."
+                    )
+                    has_hit_threshold_in_sub_loop = True
+                threshold_countdown -= 1
+
+            if self.ms_settings.fast_sub_minor_loop:
+                diverging = self._run_fast_sub_loop(
+                    dirty_set,
+                    model_set,
+                    meta,
+                    convolved_psfs,
+                    twice_convolved_psfs,
+                    individual_convolved,
+                    scale_with_peak,
+                    first_sub_threshold,
+                    sub_gain_threshold,
+                    initial_peak_value,
+                    width,
+                    height,
+                )
+                if diverging is None:
+                    # Subminor loop found no components (see reference error
+                    # message at multiscale_algorithm.cc:417-424).
+                    diverging = False
+                    break
+            else:
+                diverging = self._run_slow_sub_loop(
+                    dirty_set,
+                    model_set,
+                    meta,
+                    convolved_psfs,
+                    twice_convolved_psfs,
+                    individual_convolved,
+                    scale_with_peak,
+                    first_sub_threshold,
+                    initial_peak_value,
+                )
+
+            self._activate_scales(scale_with_peak)
+            integrated = get_linear_integrated(dirty_set.data, meta)
+            self._find_active_scale_convolved_maxima(
+                integrated, report_rms=False
+            )
+            scale_with_peak = select_maximum_scale(self.scale_infos)
+            if scale_with_peak is None:
+                log.warn(
+                    "No peak found in main loop of multi-scale cleaning! "
+                    "Aborting deconvolution."
+                )
+                result.another_iteration_required = False
+                return result
+            log.info(
+                f"Iteration {self.iteration_number}, scale "
+                f"{round(self.scale_infos[scale_with_peak].scale)} px : "
+                f"{current_biased_peak():.6g} at "
+                f"{self.scale_infos[scale_with_peak].max_image_value_x},"
+                f"{self.scale_infos[scale_with_peak].max_image_value_y}"
+            )
+
+        # Stop-reason reporting (multiscale_algorithm.cc:545-575).
+        max_iter_reached = self.iteration_number >= self.max_iterations
+        negative_reached = (
+            self.stop_on_negative_components
+            and self.scale_infos[scale_with_peak].max_unnormalized_image_value
+            < 0.0
+        )
+        result.is_diverging = diverging
+        result.another_iteration_required = (
+            not max_iter_reached
+            and not is_final_threshold
+            and not negative_reached
+            and not diverging
+        )
+        result.final_peak_value = current_biased_peak()
+        return result
+
+    # -- fast (subminor) path -------------------------------------------
+    def _run_fast_sub_loop(
+        self,
+        dirty_set,
+        model_set,
+        meta: CubeMeta,
+        convolved_psfs,
+        twice_convolved_psfs,
+        individual_convolved,
+        scale_with_peak: int,
+        first_sub_threshold: float,
+        sub_gain_threshold: float,
+        initial_peak_value: float,
+        width: int,
+        height: int,
+    ):
+        """``multiscale_algorithm.cc:377-461``.  Returns diverging flag, or
+        ``None`` when the subminor loop found no components."""
+        entry = self.scale_infos[scale_with_peak]
+        sub_start_iteration = self.iteration_number
+        conv_w = get_convolution_size(
+            entry.scale, width, self.ms_settings.convolution_padding
+        )
+        conv_h = get_convolution_size(
+            entry.scale, height, self.ms_settings.convolution_padding
+        )
+        sub = SubMinorLoop(width, height, conv_w, conv_h)
+        sub.set_iteration_info(self.iteration_number, self.max_iterations)
+        sub.set_threshold(
+            first_sub_threshold / entry.bias_factor,
+            sub_gain_threshold / entry.bias_factor,
+        )
+        sub.set_gain(entry.gain)
+        sub.divergence_limit = self.divergence_limit
+        sub.allow_negative_components = self.allow_negative_components
+        sub.stop_on_negative_component = self.stop_on_negative_components
+        scale_border = int(math.ceil(entry.scale * 0.5))
+        sub.set_clean_borders(
+            max(int(round(width * self.clean_border_ratio)), scale_border),
+            max(int(round(height * self.clean_border_ratio)), scale_border),
+        )
+        if self.rms_factor_image is not None:
+            sub.rms_factor_image = self.rms_factor_image
+        if self.use_per_scale_masks and self.scale_masks:
+            sub.mask = self.scale_masks[scale_with_peak]
+        elif self.clean_mask is not None:
+            sub.mask = self.clean_mask
+
+        diverging, peak_value = sub.run(
+            individual_convolved, meta, twice_convolved_psfs,
+            self.spectral_fitter,
+        )
+        if self.divergence_limit != 0.0 and peak_value is not None:
+            diverging = diverging or (
+                abs(peak_value) > initial_peak_value * self.divergence_limit
+            )
+        if peak_value is None:
+            log.error(
+                "Could not continue multi-scale clean, because the sub-minor "
+                "loop failed to find components."
+            )
+            return None
+
+        self.iteration_number = sub.current_iteration
+        entry.n_components_cleaned += (
+            self.iteration_number - sub_start_iteration
+        )
+        entry.total_flux_cleaned += sub.flux_cleaned
+
+        # Residual correction with the single-convolved PSFs + model add-back
+        # of the scale-convolved sparse model (multiscale_algorithm.cc:432-461).
+        single_psfs = jnp.stack(
+            [
+                convolved_psfs[min(c, len(convolved_psfs) - 1)][scale_with_peak]
+                for c in range(meta.n_channels)
+            ]
+        )
+        new_residual, full_model = sub.correct_residual_dirty(
+            dirty_set.data, single_psfs
+        )
+        dirty_set.data = new_residual
+        if self.track_per_scale_masks:
+            sub.update_auto_mask(self.scale_masks[scale_with_peak])
+        if self.track_components:
+            sub.update_component_list(self._component_list, scale_with_peak)
+        model_add = self._scale_convolve(full_model, entry.scale)
+        model_set.data = model_set.data + model_add
+        return diverging
+
+    # -- slow (per-component) path --------------------------------------
+    def _run_slow_sub_loop(
+        self,
+        dirty_set,
+        model_set,
+        meta: CubeMeta,
+        convolved_psfs,
+        twice_convolved_psfs,
+        individual_convolved,
+        scale_with_peak: int,
+        first_sub_threshold: float,
+        initial_peak_value: float,
+    ) -> bool:
+        """``multiscale_algorithm.cc:463-519``: one component per iteration at
+        the fixed scale."""
+        entry = self.scale_infos[scale_with_peak]
+        psf_indices = jnp.asarray(meta.psf_indices)
+        single_psfs = jnp.stack(
+            [
+                convolved_psfs[min(c, len(convolved_psfs) - 1)][scale_with_peak]
+                for c in range(meta.n_channels)
+            ]
+        )
+        diverging = False
+        while (
+            self.iteration_number < self.max_iterations
+            and abs(entry.max_unnormalized_image_value * entry.bias_factor)
+            > first_sub_threshold
+            and (
+                not self.stop_on_negative_components
+                or entry.max_unnormalized_image_value >= 0.0
+            )
+            and not diverging
+        ):
+            x = entry.max_image_value_x
+            y = entry.max_image_value_y
+            component_values = individual_convolved[:, y, x]
+            if self.spectral_fitter is not None and self.spectral_fitter.is_active:
+                vals = component_values.reshape(
+                    meta.n_channels, meta.n_polarizations
+                )
+                component_values = self.spectral_fitter.fit_and_evaluate(
+                    vals, x, y
+                ).reshape(-1)
+            component_values = component_values * entry.gain
+            dirty_set.data = subtract_psf_from_cube(
+                dirty_set.data,
+                single_psfs,
+                psf_indices,
+                jnp.int32(x),
+                jnp.int32(y),
+                component_values,
+            )
+            individual_convolved = subtract_psf_from_cube(
+                individual_convolved,
+                twice_convolved_psfs,
+                psf_indices,
+                jnp.int32(x),
+                jnp.int32(y),
+                component_values,
+            )
+            host_values = np.asarray(component_values)
+            new_model = []
+            for img_index in range(meta.n_images):
+                if entry.scale == 0.0:
+                    new_model.append(
+                        model_set.data[img_index]
+                        .at[y, x]
+                        .add(host_values[img_index])
+                    )
+                else:
+                    new_model.append(
+                        add_shape_component(
+                            model_set.data[img_index],
+                            entry.scale,
+                            x,
+                            y,
+                            float(host_values[img_index]),
+                            self.ms_settings.shape,
+                        )
+                    )
+            model_set.data = jnp.stack(new_model)
+            entry.n_components_cleaned += 1
+            entry.total_flux_cleaned += float(host_values.sum())
+            if self.track_per_scale_masks:
+                self.scale_masks[scale_with_peak][y, x] = True
+            if self.track_components:
+                self._component_list.add(x, y, scale_with_peak, host_values)
+
+            integrated = get_linear_integrated(individual_convolved, meta)
+            self._find_peak_direct(integrated, scale_with_peak)
+            abs_peak = abs(
+                entry.max_unnormalized_image_value * entry.bias_factor
+            )
+            if self.divergence_limit != 0.0:
+                diverging = abs_peak > initial_peak_value * self.divergence_limit
+            self.iteration_number += 1
+        return diverging
+
+    def _find_peak_direct(self, image: jnp.ndarray, scale_index: int) -> None:
+        """``multiscale_algorithm.cc:700-748``."""
+        entry = self.scale_infos[scale_index]
+        h, w = image.shape
+        hb = int(round(w * self.clean_border_ratio))
+        vb = int(round(h * self.clean_border_ratio))
+        weighted = image
+        if self.rms_factor_image is not None:
+            weighted = image * self.rms_factor_image
+        if self.use_per_scale_masks and self.scale_masks:
+            mask = jnp.asarray(self.scale_masks[scale_index])
+        elif self.clean_mask is not None:
+            mask = jnp.asarray(self.clean_mask)
+        else:
+            mask = None
+        pk = find_peak(
+            weighted, self.allow_negative_components, hb, vb, mask
+        )
+        if bool(pk.found):
+            entry.max_unnormalized_image_value = float(pk.value)
+            entry.max_image_value_x = int(pk.x)
+            entry.max_image_value_y = int(pk.y)
+            if self.rms_factor_image is not None:
+                entry.max_normalized_image_value = float(pk.value) / float(
+                    self.rms_factor_image[int(pk.y), int(pk.x)]
+                )
+            else:
+                entry.max_normalized_image_value = float(pk.value)
+        else:
+            entry.max_unnormalized_image_value = 0.0
+            entry.max_normalized_image_value = 0.0
+
+    # -- component optimization (multiscale_algorithm.cc:750-931) --------
+    def _run_full_component_fitter(self, dirty_set, model_set, psfs) -> None:
+        from ..ops import component_optimization as comp_opt
+
+        if self._component_list is None:
+            raise RuntimeError(
+                "Component optimization in multiscale requires a tracked "
+                "component list (save_source_list)"
+            )
+        meta = dirty_set.meta
+        for image_index in range(dirty_set.n_images):
+            self._fit_components_single_image(
+                dirty_set, model_set, psfs, image_index, comp_opt
+            )
+        self.apply_spectral_constraints_to_components(self._component_list)
+
+    def _fit_components_single_image(
+        self, dirty_set, model_set, psfs, image_index: int, comp_opt
+    ) -> None:
+        """Gradient-descent refinement of all components of one image over
+        all scales (``RunFullComponentFitter``,
+        ``multiscale_algorithm.cc:837-918``)."""
+        meta = dirty_set.meta
+        width, height = dirty_set.width, dirty_set.height
+        psf = psfs[meta.psf_index(image_index)]
+        residual = dirty_set.data[image_index]
+        model = model_set.data[image_index]
+        for scale_index, entry in enumerate(self.scale_infos):
+            positions = self._component_list.get_positions(scale_index)
+            if not positions:
+                continue
+            conv_psf = self._scale_convolve(psf, entry.scale)
+            double_psf = self._scale_convolve(conv_psf, entry.scale)
+            conv_residual = self._scale_convolve(residual, entry.scale)
+            support = jnp.zeros((height, width), jnp.float32)
+            xs = jnp.asarray([p[0] for p in positions])
+            ys = jnp.asarray([p[1] for p in positions])
+            support = support.at[ys, xs].set(1.0)
+            delta, _ = comp_opt.gradient_descent(
+                jnp.zeros((height, width), jnp.float32),
+                conv_residual,
+                double_psf,
+                support_mask=support,
+            )
+            for i, (px, py) in enumerate(positions):
+                value = float(delta[py, px])
+                _, _, vals = self._component_list.get_component(scale_index, i)
+                vals[image_index] += value
+            delta_conv = self._scale_convolve(delta, entry.scale)
+            model = model + delta_conv
+            residual = residual - comp_opt.padded_convolve(delta_conv, psf)
+        model_set.data = model_set.data.at[image_index].set(model)
+        dirty_set.data = dirty_set.data.at[image_index].set(residual)

@@ -89,12 +89,16 @@ def gradient_descent(
     residual: jnp.ndarray,
     psf: jnp.ndarray,
     n_iterations: int = 4,
+    support_mask: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Line-search GD over component amplitudes
-    (``component_optimization.cc:265-321``): only positions already present in
-    the model are adjusted (the model acts as its own support mask)."""
+    (``component_optimization.cc:265-321``): only positions in the support
+    are adjusted (by default the model acts as its own support mask)."""
     h, w = model.shape
-    mask = (model != 0.0).astype(model.dtype)
+    if support_mask is None:
+        mask = (model != 0.0).astype(model.dtype)
+    else:
+        mask = support_mask.astype(model.dtype)
     dirty = residual + padded_convolve(model, psf)
     ph, pw = 2 * h, 2 * w
     return _gd_iterations(model, dirty, psf, mask, n_iterations, ph, pw)

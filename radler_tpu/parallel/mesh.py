@@ -1,0 +1,131 @@
+"""Device-mesh sharding for the deconvolution state.
+
+TPU-native replacement for the reference's thread pool (SURVEY.md §2.2): the
+image cube ``[n_chan, n_pol, H, W]`` is laid out over a
+``Mesh(("chan", "tile"))`` — frequency channels across the ``chan`` axis
+(batch-like data parallelism) and image rows across the ``tile`` axis
+(spatial/facet parallelism).  The four cross-worker exchanges of the
+reference (global peak max-reduce, threshold broadcast, boundary-masked
+merge, mask union — ``parallel_deconvolution.cc:592-617``) all become XLA
+collectives inserted automatically from sharding annotations; they ride ICI,
+and only the scalar major-loop decisions touch the host.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: Optional[int] = None, n_channels: Optional[int] = None
+) -> Mesh:
+    """Build a ("chan", "tile") mesh over the available devices.
+
+    The channel axis only takes a factor that also divides the cube's channel
+    count (when given), so shardings stay valid for any problem shape.
+    """
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    # Prefer giving parallelism to the spatial axis; put leftover factor of 2
+    # (or 4) on channels when device and channel counts allow.
+    chan = 1
+    for candidate in (4, 2):
+        if (
+            n % candidate == 0
+            and n // candidate > 1
+            and (n_channels is None or n_channels % candidate == 0)
+        ):
+            chan = candidate
+            break
+    tile = n // chan
+    mesh_devices = np.asarray(devices).reshape(chan, tile)
+    return Mesh(mesh_devices, ("chan", "tile"))
+
+
+def cube_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding of a ``[n_chan, n_pol, H, W]`` cube: channels over "chan",
+    image rows over "tile"."""
+    return NamedSharding(mesh, P("chan", None, "tile", None))
+
+
+def image_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding of a ``[H, W]`` integrated image: rows over "tile"."""
+    return NamedSharding(mesh, P("tile", None))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+@partial(jax.jit, static_argnames=("allow_negative",), donate_argnums=(0, 1))
+def sharded_clean_step(
+    residual: jnp.ndarray,  # [C, P, H, W] sharded (chan, -, tile, -)
+    model: jnp.ndarray,  # [C, P, H, W] same sharding
+    psfs: jnp.ndarray,  # [C, H, W] sharded (chan, -, -)
+    chan_weights: jnp.ndarray,  # [C] replicated
+    gain: jnp.ndarray,
+    *,
+    allow_negative: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One fully-sharded Högbom step: joined integrate → global argmax →
+    spectrally-independent component subtraction.
+
+    The channel/polarization reduction becomes a ``psum`` over the "chan"
+    mesh axis, the argmax a max-reduce over "tile" — both inserted by XLA
+    from the sharding annotations.  Returns (residual, model, peak_value).
+    """
+    C, Pp, H, W = residual.shape
+    # Joined peak finding: sqrt of the weighted sum of squares over pols,
+    # weighted mean over channels (cf. image_set.cc:309-421).
+    sq = jnp.einsum("c,cphw->hw", chan_weights, residual * residual)
+    integrated = jnp.sqrt(jnp.maximum(sq, 0.0))
+    flat_idx = jnp.argmax(integrated.reshape(-1))
+    y = (flat_idx // W).astype(jnp.int32)
+    x = (flat_idx % W).astype(jnp.int32)
+    values = residual[:, :, y, x] * gain  # [C, P]
+    model = model.at[:, :, y, x].add(values)
+    # Shifted-PSF subtraction with wrap clipping (ops/psf_subtract.py).
+    dy = y - H // 2
+    dx = x - W // 2
+    shifted = jnp.roll(psfs, (dy, dx), axis=(-2, -1))
+    rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    valid = (rows >= dy) & (rows < H + dy) & (cols >= dx) & (cols < W + dx)
+    shifted = jnp.where(valid, shifted, 0.0)
+    residual = residual - values[:, :, None, None] * shifted[:, None, :, :]
+    peak = integrated.reshape(-1)[flat_idx]
+    return residual, model, peak
+
+
+def dryrun_step(n_devices: int) -> float:
+    """Compile + execute one sharded clean step on tiny shapes; used by the
+    driver's multi-chip dry-run."""
+    C, Pp, H, W = 2, 2, 64, 64
+    mesh = make_mesh(n_devices, n_channels=C)
+    key = jax.random.PRNGKey(0)
+    residual = jax.random.normal(key, (C, Pp, H, W), jnp.float32) * 0.01
+    residual = residual.at[:, :, H // 2, W // 2].set(1.0)
+    psf = jnp.zeros((C, H, W), jnp.float32).at[:, H // 2, W // 2].set(1.0)
+    weights = jnp.full((C,), 1.0 / C, jnp.float32)
+    with mesh:
+        residual = jax.device_put(residual, cube_sharding(mesh))
+        model = jax.device_put(
+            jnp.zeros((C, Pp, H, W), jnp.float32), cube_sharding(mesh)
+        )
+        psf = jax.device_put(
+            psf, NamedSharding(mesh, P("chan", None, None))
+        )
+        weights = jax.device_put(weights, replicated(mesh))
+        residual, model, peak = sharded_clean_step(
+            residual, model, psf, weights, jnp.float32(0.1)
+        )
+        jax.block_until_ready(residual)
+    return float(peak)

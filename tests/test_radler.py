@@ -137,6 +137,27 @@ def test_point_source_generic(settings, use_subminor, source_shift):
     check_model_point_source(model, scale, *source_shift)
 
 
+def test_point_source_multiscale(settings):
+    """Multiscale parity with the reference's point-source case
+    (``cpp/test/test_radler.cc`` multiscale variant).  The absolute threshold
+    is 1e-7 instead of the reference's 1e-8 to keep CPU test runtime down;
+    the assertion tolerances are the reference's own (2e-6)."""
+    settings.algorithm_type = rd.AlgorithmType.MULTISCALE
+    settings.absolute_threshold = 1e-7
+    settings.minor_iteration_count = 600
+    scale = 2.5
+    shift = (-9, 15)
+    psf = get_psf()
+    residual = get_residual(scale, *shift)
+    model = np.zeros_like(residual)
+    r = rd.Radler(
+        settings, psf, residual, model, BEAM_SIZE, rd.Polarization.STOKES_I
+    )
+    r.perform(0)
+    np.testing.assert_allclose(residual, np.zeros_like(residual), atol=2e-6)
+    check_model_point_source(model, scale, *shift)
+
+
 def test_component_list_generic(settings):
     settings.save_source_list = True
     settings.minor_iteration_count = 42

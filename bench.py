@@ -1,13 +1,23 @@
 #!/usr/bin/env python
-"""Headline benchmark: Clark-subminor minor-loop iterations/s at 4096^2.
+"""Headline benchmark: minor-loop iterations/s at 4096^2.
 
 Matches BASELINE.json's metric ("minor-loop iterations/s/chip at 4096^2").
 Builds a synthetic 4096^2 field (point sources convolved with a PSF with
-sidelobes), runs one full major iteration of the generic CLEAN with the
-subminor optimization through the public Radler API on the default JAX
-device (the real TPU chip under the driver), and reports minor-loop
-iterations per second excluding compilation (a warm-up major iteration on
-identical shapes is run first).
+sidelobes), runs one full major iteration of the generic CLEAN through the
+public Radler API on the default JAX device (the real TPU chip under the
+driver), and reports minor-loop iterations per second excluding compilation
+(a warm-up major iteration on identical shapes runs first).
+
+Engines:
+
+* ``dense`` (default): the fused Pallas Högbom step — subtract + joined
+  integration + masked argmax in one streamed HBM pass per iteration
+  (ops/pallas/hogbom_step.py).
+* ``clark``: the Clark-style subminor loop on the sparse candidate set
+  (models/subminor.py), the reference's fast path.
+
+State is device-resident (``DeviceImageAccessor``): like the reference's
+in-RAM caller buffers, the cube stays in TPU HBM across major iterations.
 
 ``vs_baseline`` compares against a single-host NumPy Högbom loop (argmax +
 PSF-patch subtraction, the reference's algorithmic core) timed on this
@@ -39,36 +49,59 @@ def make_problem(size: int, n_sources: int, seed: int = 7):
     xs = rng.integers(margin, size - margin, n_sources)
     amps = rng.uniform(0.2, 1.0, n_sources).astype(np.float32)
     np.add.at(sky, (ys, xs), amps)
-    # Residual = sky convolved with the PSF (wrap-free via FFT padding).
+    # Residual = sky convolved with the PSF (host FFT; wrap-free padding).
+    pad = 1 << (size - 1).bit_length()
+    psf_f = np.fft.rfft2(np.fft.ifftshift(_pad_center(psf, 2 * pad)))
+    sky_f = np.fft.rfft2(_pad_center(sky, 2 * pad))
+    conv = np.fft.irfft2(psf_f * sky_f, s=(2 * pad, 2 * pad))
+    residual = _crop_center(conv, size).astype(np.float32)
+    return psf, residual
+
+
+def _pad_center(img, n):
+    out = np.zeros((n, n), img.dtype)
+    h, w = img.shape
+    top, left = n // 2 - h // 2, n // 2 - w // 2
+    out[top : top + h, left : left + w] = img
+    return out
+
+
+def _crop_center(img, n):
+    h, w = img.shape
+    top, left = h // 2 - n // 2, w // 2 - n // 2
+    return img[top : top + n, left : left + n]
+
+
+def run_radler_tpu(psf, residual, n_iter: int, engine: str):
+    import jax
     import jax.numpy as jnp
-    from radler_tpu.ops.convolution import padded_convolve
-
-    residual = np.asarray(padded_convolve(jnp.asarray(sky), jnp.asarray(psf)))
-    return psf, residual.astype(np.float32)
-
-
-def run_radler_tpu(psf, residual, n_iter: int):
     import radler_tpu as rd
 
     size = residual.shape[0]
+    psf_dev = jnp.asarray(psf)
+    res_dev = jnp.asarray(residual)
 
-    def one_run(res_in):
-        model = np.zeros_like(res_in)
-        res = res_in.copy()
+    def one_run():
         s = rd.Settings()
         s.trimmed_image_width = size
         s.trimmed_image_height = size
         s.minor_iteration_count = n_iter
         s.absolute_threshold = 0.05
         s.minor_loop_gain = 0.1
-        r = rd.Radler(s, psf, res, model, 0.0)
+        s.generic.use_sub_minor_optimization = engine == "clark"
+        model = jnp.zeros_like(res_dev)
+        r = rd.Radler(s, psf_dev, res_dev, model, 0.0)
         t0 = time.perf_counter()
         r.perform(0)
+        # Sync on the device-resident residual.
+        jax.block_until_ready(
+            r._table.front.residual_accessor.array
+        )
         dt = time.perf_counter() - t0
         return r.iteration_number, dt
 
-    one_run(residual)  # warm-up/compile at identical shapes
-    iters, dt = one_run(residual)
+    one_run()  # warm-up/compile at identical shapes
+    iters, dt = one_run()
     return iters, dt
 
 
@@ -94,21 +127,24 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--size", type=int, default=4096)
     parser.add_argument("--sources", type=int, default=300)
-    parser.add_argument("--iters", type=int, default=2000)
+    parser.add_argument("--iters", type=int, default=5000)
     parser.add_argument("--baseline-iters", type=int, default=100)
+    parser.add_argument(
+        "--engine", choices=("dense", "clark"), default="dense"
+    )
     args = parser.parse_args()
 
     psf, residual = make_problem(args.size, args.sources)
 
-    iters, dt = run_radler_tpu(psf, residual, args.iters)
+    iters, dt = run_radler_tpu(psf, residual, args.iters, args.engine)
     tpu_ips = iters / dt if dt > 0 else 0.0
 
     b_iters, b_dt = run_numpy_baseline(psf, residual, args.baseline_iters)
     cpu_ips = b_iters / b_dt if b_dt > 0 else 0.0
 
     print(
-        f"[bench] radler_tpu: {iters} minor iterations in {dt:.3f}s "
-        f"({tpu_ips:.1f} it/s) at {args.size}^2",
+        f"[bench] radler_tpu ({args.engine}): {iters} minor iterations in "
+        f"{dt:.3f}s ({tpu_ips:.1f} it/s) at {args.size}^2",
         file=sys.stderr,
     )
     print(
@@ -119,7 +155,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"clark_minor_loop_iterations_per_s_{args.size}sq",
+                "metric": f"hogbom_minor_loop_iterations_per_s_{args.size}sq",
                 "value": round(tpu_ips, 2),
                 "unit": "iterations/s",
                 "vs_baseline": round(tpu_ips / cpu_ips, 2) if cpu_ips else None,

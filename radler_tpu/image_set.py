@@ -337,7 +337,7 @@ class ImageSet:
         """Load caller images, averaging original channels into deconvolution
         channels with image weights (``cpp/image_set.cc:105-140``)."""
         H, W = self.height, self.width
-        acc = np.zeros((self.n_images, H, W), dtype=np.float64)
+        per_index = [[] for _ in range(self.n_images)]
         weight_acc = np.zeros(self.n_images, dtype=np.float64)
         for entry in self.table:
             if entry.image_weight == 0.0:
@@ -349,13 +349,25 @@ class ImageSet:
                 else entry.model_accessor
             )
             image_index = self.entry_to_image[entry.index]
-            acc[image_index] += (
-                np.asarray(accessor.load(), dtype=np.float64) * entry.image_weight
-            )
+            per_index[image_index].append((accessor.load(), entry.image_weight))
             weight_acc[image_index] += entry.image_weight
-        with np.errstate(divide="ignore", invalid="ignore"):
-            acc /= weight_acc[:, None, None]
-        self.data = jnp.asarray(acc, dtype=jnp.float32)
+        # Accumulate on device so device-resident accessors incur no host
+        # round-trip; NumPy-backed accessors are transferred once each.
+        planes = []
+        for image_index in range(self.n_images):
+            total = weight_acc[image_index]
+            acc = None
+            for array, weight in per_index[image_index]:
+                term = jnp.asarray(array, jnp.float32) * np.float32(
+                    weight / total
+                )
+                acc = term if acc is None else acc + term
+            if acc is None:
+                # Zero total weight: the reference's 1/0 scaling makes such
+                # planes non-finite; NaN gives the same effect.
+                acc = jnp.full((H, W), jnp.nan, jnp.float32)
+            planes.append(acc)
+        self.data = jnp.stack(planes)
 
     def load_and_average_psfs(self) -> List[jnp.ndarray]:
         """Per direction-dependent PSF index, the channel-averaged PSF stack.
@@ -370,28 +382,50 @@ class ImageSet:
         result: List[jnp.ndarray] = []
         for psf_index, first_acc in enumerate(first_psf_accessors):
             ph, pw = first_acc.height, first_acc.width
-            acc = np.zeros((n_deconv, ph, pw), dtype=np.float64)
             weight_acc = np.zeros(n_deconv, dtype=np.float64)
             for group_index in range(n_orig):
                 channel_index = group_index * n_deconv // n_orig
                 entry = self.table.original_groups[group_index][0]
-                w = entry.image_weight
-                psf = np.asarray(
-                    entry.psf_accessors[psf_index].load(), dtype=np.float64
+                weight_acc[channel_index] += entry.image_weight
+            planes = [None] * n_deconv
+            for group_index in range(n_orig):
+                channel_index = group_index * n_deconv // n_orig
+                entry = self.table.original_groups[group_index][0]
+                total = weight_acc[channel_index]
+                factor = (
+                    0.0 if total == 0.0 else entry.image_weight / total
                 )
-                acc[channel_index] += psf * w
-                weight_acc[channel_index] += w
-            factors = np.where(weight_acc == 0.0, 0.0, 1.0 / np.maximum(weight_acc, 1e-300))
-            acc *= factors[:, None, None]
-            result.append(jnp.asarray(acc, dtype=jnp.float32))
+                term = jnp.asarray(
+                    entry.psf_accessors[psf_index].load(), jnp.float32
+                ) * np.float32(factor)
+                planes[channel_index] = (
+                    term
+                    if planes[channel_index] is None
+                    else planes[channel_index] + term
+                )
+            for channel_index in range(n_deconv):
+                if planes[channel_index] is None:
+                    planes[channel_index] = jnp.zeros((ph, pw), jnp.float32)
+            result.append(jnp.stack(planes))
         return result
 
     def assign_and_store_residual(self) -> None:
         """Write deconvolution-channel residuals back to every original
-        entry (``cpp/image_set.cc:290-307``)."""
-        host = np.asarray(self.data)
+        entry (``cpp/image_set.cc:290-307``).  Device-resident accessors
+        receive the on-device plane; NumPy accessors share one bulk
+        device-to-host transfer."""
+        from .work_table import DeviceImageAccessor
+
+        host = None
         for entry in self.table:
-            entry.residual_accessor.store(host[self.entry_to_image[entry.index]])
+            accessor = entry.residual_accessor
+            index = self.entry_to_image[entry.index]
+            if isinstance(accessor, DeviceImageAccessor):
+                accessor.store(self.data[index])
+            else:
+                if host is None:
+                    host = np.asarray(self.data)
+                accessor.store(host[index])
 
     def interpolate_and_store_model(self, fitter) -> None:
         """Store the model; when deconvolution channels < original channels,

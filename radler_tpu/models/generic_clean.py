@@ -130,6 +130,21 @@ def _hogbom_loop(
     return res, mod, it, value, found, diverging
 
 
+def _choose_block_rows(height: int, width: int, n_images: int) -> int:
+    """Largest row-block that keeps the fused kernel's working set (in/out
+    double buffers + PSF scratch + weight block) inside ~10 MB of the 16 MB
+    VMEM."""
+    budget = 12 * 1024 * 1024
+    per_row = (width + 128) * 4 * (4 * n_images + 1)
+    limit = max(budget // per_row, 8)
+    block = 8
+    for candidate in (512, 256, 128, 64, 32, 16, 8):
+        if candidate <= limit and height % candidate == 0:
+            block = candidate
+            break
+    return block
+
+
 class GenericClean(DeconvolutionAlgorithm):
     """``cpp/algorithms/generic_clean.{h,cc}``."""
 
@@ -247,6 +262,20 @@ class GenericClean(DeconvolutionAlgorithm):
                 )
                 else None
             )
+            if self._use_pallas_loop(height, width):
+                return self._run_pallas_hogbom(
+                    dirty_set,
+                    model_set,
+                    psfs_padded,
+                    pk,
+                    first_threshold,
+                    initial_max_value,
+                    iteration_counter_at_start,
+                    major_iter_threshold,
+                    result,
+                    hb,
+                    vb,
+                )
             res, mod, it, value, found_f, diverging_f = _hogbom_loop(
                 dirty_set.data,
                 model_set.data,
@@ -282,14 +311,120 @@ class GenericClean(DeconvolutionAlgorithm):
             diverging = bool(diverging_f)
             max_value = float(value) if bool(found_f) else None
 
-        # Stop-reason reporting (generic_clean.cc:208-251).
+        return self._finish_result(
+            result,
+            diverging,
+            max_value,
+            iteration_counter_at_start,
+            major_iter_threshold,
+        )
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _use_pallas_loop(height: int, width: int) -> bool:
+        """The fused Pallas step needs a TPU backend and tile-aligned
+        shapes; otherwise the jnp while-loop runs (identical numerics)."""
+        try:
+            platform = jax.devices()[0].platform
+        except Exception:
+            return False
+        return (
+            platform in ("tpu", "axon")
+            and width % 128 == 0
+            and height % 8 == 0
+        )
+
+    def _run_pallas_hogbom(
+        self,
+        dirty_set,
+        model_set,
+        psfs_padded: jnp.ndarray,
+        pk,
+        first_threshold: float,
+        initial_max_value: float,
+        iteration_counter_at_start: int,
+        major_iter_threshold: float,
+        result: DeconvolutionResult,
+        hb: int,
+        vb: int,
+    ) -> DeconvolutionResult:
+        """Drive the fused-kernel minor loop (ops/pallas/hogbom_step.py)."""
+        from ..ops.pallas.hogbom_step import hogbom_loop_pallas, pad_psfs
+        from ..ops.peak_finder import window_mask
+
+        meta = dirty_set.meta
+        height, width = dirty_set.height, dirty_set.width
+        weight = jnp.asarray(
+            window_mask(height, width, hb, vb), jnp.float32
+        )
+        if self.clean_mask is not None:
+            weight = weight * jnp.asarray(self.clean_mask, jnp.float32)
+        rms = (
+            self.rms_factor_image
+            if self.rms_factor_image is not None
+            else jnp.ones((height, width), jnp.float32)
+        )
+        weight = weight * rms
+        per_image_psfs = psfs_padded[jnp.asarray(meta.psf_indices)]
+        block_rows = _choose_block_rows(height, width, meta.n_images)
+        fit = (
+            self.spectral_fitter
+            if (
+                self.spectral_fitter is not None
+                and self.spectral_fitter.is_active
+            )
+            else None
+        )
+        res, mod, it, value, found_f, diverging_f = hogbom_loop_pallas(
+            dirty_set.data,
+            model_set.data,
+            pad_psfs(per_image_psfs),
+            weight,
+            rms,
+            pk.value,
+            pk.x,
+            pk.y,
+            pk.found,
+            jnp.float32(first_threshold),
+            jnp.float32(self.minor_loop_gain),
+            jnp.float32(initial_max_value),
+            jnp.float32(self.divergence_limit),
+            jnp.int32(self.iteration_number),
+            jnp.int32(self.max_iterations),
+            meta=meta,
+            allow_negative=self.allow_negative_components,
+            stop_on_negative=self.stop_on_negative_components,
+            fitter=fit,
+            block_rows=block_rows,
+        )
+        dirty_set.data = res
+        model_set.data = mod
+        self.iteration_number = int(it)
+        diverging = bool(diverging_f)
+        max_value = float(value) if bool(found_f) else None
+        return self._finish_result(
+            result,
+            diverging,
+            max_value,
+            iteration_counter_at_start,
+            major_iter_threshold,
+        )
+
+    def _finish_result(
+        self,
+        result: DeconvolutionResult,
+        diverging: bool,
+        max_value,
+        iteration_counter_at_start: int,
+        major_iter_threshold: float,
+    ) -> DeconvolutionResult:
+        """Stop-reason reporting (generic_clean.cc:208-251)."""
         if diverging:
             if max_value is not None:
                 result.final_peak_value = max_value
             result.another_iteration_required = False
             result.is_diverging = True
         elif max_value is not None:
-            max_iter_reached = self.iteration_number >= self.max_iterations
             final_threshold_reached = (
                 abs(max_value) <= self.threshold or max_value == 0.0
             )
@@ -300,7 +435,6 @@ class GenericClean(DeconvolutionAlgorithm):
             did_work = (
                 self.iteration_number - iteration_counter_at_start
             ) != 0
-            del max_iter_reached  # informational in the reference's logging
             result.another_iteration_required = (
                 mgain_reached
                 and did_work
@@ -312,7 +446,6 @@ class GenericClean(DeconvolutionAlgorithm):
             result.another_iteration_required = False
         return result
 
-    # ------------------------------------------------------------------
     def _fit_model_spectra(self, model_set) -> None:
         """``GenericClean::FitSpectra`` (``generic_clean.cc:278-297``):
         constrain every model pixel's spectrum, batched over the image."""

@@ -43,7 +43,7 @@ from .parallel.parallel_deconvolution import ParallelDeconvolution
 from .utils import logging as log
 
 
-def _check_image(name: str, array: np.ndarray, settings: Settings) -> None:
+def _check_image(name: str, array, settings: Settings) -> None:
     if array.dtype != np.float32:
         raise TypeError(f"{name} must be of dtype float32")
     if array.ndim not in (2, 3):
@@ -52,6 +52,12 @@ def _check_image(name: str, array: np.ndarray, settings: Settings) -> None:
         -2
     ] != settings.trimmed_image_height:
         raise RuntimeError(f"Mismatch in {name} image size")
+
+
+def _is_device_array(array) -> bool:
+    import jax
+
+    return isinstance(array, jax.Array)
 
 
 class Radler:
@@ -90,8 +96,13 @@ class Radler:
                 )
             table = psf_or_table
         else:
+            psf_in = (
+                psf_or_table
+                if _is_device_array(psf_or_table)
+                else np.asarray(psf_or_table)
+            )
             table = self._make_table_from_arrays(
-                np.asarray(psf_or_table),
+                psf_in,
                 residual,
                 model,
                 polarization,
@@ -158,9 +169,18 @@ class Radler:
             if frequencies is not None:
                 entry.band_start_frequency = float(frequencies[ch][0])
                 entry.band_end_frequency = float(frequencies[ch][1])
-            entry.psf_accessors = [LoadOnlyImageAccessor(psf[ch])]
-            entry.residual_accessor = LoadAndStoreImageAccessor(residual[ch])
-            entry.model_accessor = LoadAndStoreImageAccessor(model[ch])
+            if _is_device_array(psf):
+                # Device-resident path: state stays in HBM across major
+                # iterations; results are read back via the accessors.
+                from .work_table import DeviceImageAccessor
+
+                entry.psf_accessors = [DeviceImageAccessor(psf[ch])]
+                entry.residual_accessor = DeviceImageAccessor(residual[ch])
+                entry.model_accessor = DeviceImageAccessor(model[ch])
+            else:
+                entry.psf_accessors = [LoadOnlyImageAccessor(psf[ch])]
+                entry.residual_accessor = LoadAndStoreImageAccessor(residual[ch])
+                entry.model_accessor = LoadAndStoreImageAccessor(model[ch])
             table.add_entry(entry)
         return table
 

@@ -68,6 +68,34 @@ class LoadAndStoreImageAccessor(LoadOnlyImageAccessor):
         self._array[...] = np.asarray(data, dtype=self._array.dtype)
 
 
+class DeviceImageAccessor(ImageAccessor):
+    """Device-resident accessor: the image stays in TPU HBM across major
+    iterations (no host round-trip at the Load/Store boundary).
+
+    TPU-native extension of the accessor concept: the reference's contract is
+    in-RAM caller buffers (``cpp/radler.h:59-69``); the equivalent for a TPU
+    caller is in-HBM ``jax.Array`` buffers.  ``array`` always holds the most
+    recently stored image.
+    """
+
+    def __init__(self, array):
+        self.array = array
+
+    @property
+    def width(self) -> int:
+        return self.array.shape[-1]
+
+    @property
+    def height(self) -> int:
+        return self.array.shape[-2]
+
+    def load(self):
+        return self.array
+
+    def store(self, data) -> None:
+        self.array = data
+
+
 @dataclasses.dataclass
 class PsfOffset:
     """Center position of a direction-dependent PSF (``cpp/psf_offset.h``)."""

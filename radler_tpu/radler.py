@@ -469,6 +469,20 @@ class Radler:
         return another_iteration_required
 
     # ------------------------------------------------------------------
+    def save_state(self, path: str) -> None:
+        """Checkpoint the cross-major-iteration state (auto-mask phase,
+        iteration counters, per-scale masks); see radler_tpu.checkpoint."""
+        from .checkpoint import save_state
+
+        save_state(self, path)
+
+    def load_state(self, path: str) -> None:
+        """Resume from a checkpoint written by :meth:`save_state`."""
+        from .checkpoint import load_state
+
+        load_state(self, path)
+
+    # ------------------------------------------------------------------
     def _read_forced_spectrum_images(self) -> None:
         """``cpp/radler.cc:410-432``."""
         from .utils.fits import read_fits_cube

@@ -167,3 +167,57 @@ def test_plugin_error_paths(tmp_path):
     r = rd.Radler(settings, psf, img.copy(), img.copy(), 0.0)
     with pytest.raises(RuntimeError, match="dictionary"):
         r.perform(0)
+
+
+def test_ls_deconvolution_linear():
+    """Experimental LS solver (``cpp/algorithms/ls_deconvolution.cc``
+    equivalent): exact amplitudes at masked positions."""
+    from radler_tpu.models.ls_deconvolution import LsDeconvolution
+    from radler_tpu.image_set import ImageSet
+    from radler_tpu.work_table import (
+        LoadAndStoreImageAccessor,
+        LoadOnlyImageAccessor,
+        WorkTable,
+        WorkTableEntry,
+    )
+
+    size = 32
+    psf = np.zeros((size, size), np.float32)
+    psf[size // 2, size // 2] = 1.0
+    psf[size // 2, size // 2 + 1] = 0.4
+    residual = np.zeros((size, size), np.float32)
+    residual[10, 10] = 2.0
+    residual[10, 11] = 0.8  # sidelobe of the source at (10, 10)
+    model = np.zeros_like(residual)
+
+    table = WorkTable([], 1, 1)
+    e = WorkTableEntry()
+    e.image_weight = 1.0
+    e.psf_accessors = [LoadOnlyImageAccessor(psf)]
+    e.residual_accessor = LoadAndStoreImageAccessor(residual)
+    e.model_accessor = LoadAndStoreImageAccessor(model)
+    table.add_entry(e)
+    dirty_set = ImageSet.from_table(table, False, set(), size, size)
+    model_set = ImageSet.from_table(table, False, set(), size, size)
+    dirty_set.load_and_average(True)
+    model_set.load_and_average(False)
+
+    alg = LsDeconvolution(use_linear_solver=True)
+    mask = np.zeros((size, size), bool)
+    mask[10, 10] = True
+    alg.clean_mask = mask
+    alg.execute_major_iteration(dirty_set, model_set, jnp.asarray(psf)[None])
+    out_model = np.asarray(model_set.data[0])
+    out_res = np.asarray(dirty_set.data[0])
+    assert out_model[10, 10] == pytest.approx(2.0, abs=1e-4)
+    assert abs(out_res[10, 10]) < 1e-5
+    assert abs(out_res[10, 11]) < 1e-4
+
+
+def test_profiling_phase_timer():
+    from radler_tpu.utils.profiling import PhaseTimer
+
+    timer = PhaseTimer()
+    with timer.phase("work"):
+        _ = jnp.ones((8, 8)).sum()
+    assert "work" in timer.report()

@@ -135,7 +135,7 @@ def _choose_block_rows(height: int, width: int, n_images: int) -> int:
     double buffers + PSF scratch + weight block) inside ~10 MB of the 16 MB
     VMEM."""
     budget = 12 * 1024 * 1024
-    per_row = (width + 128) * 4 * (4 * n_images + 1)
+    per_row = (width + 128) * 4 * (6 * n_images + 2)
     limit = max(budget // per_row, 8)
     block = 8
     for candidate in (512, 256, 128, 64, 32, 16, 8):
@@ -354,6 +354,12 @@ class GenericClean(DeconvolutionAlgorithm):
 
         meta = dirty_set.meta
         height, width = dirty_set.height, dirty_set.width
+        use_weight = (
+            hb > 0
+            or vb > 0
+            or self.clean_mask is not None
+            or self.rms_factor_image is not None
+        )
         weight = jnp.asarray(
             window_mask(height, width, hb, vb), jnp.float32
         )
@@ -396,6 +402,7 @@ class GenericClean(DeconvolutionAlgorithm):
             stop_on_negative=self.stop_on_negative_components,
             fitter=fit,
             block_rows=block_rows,
+            use_weight=use_weight,
         )
         dirty_set.data = res
         model_set.data = mod

@@ -47,8 +47,8 @@ def _step_kernel(
     out_max_ref,  # VMEM [1, 1] global max (comparison value)
     out_idx_ref,  # VMEM [1, 1] global flat arg index
     # scratch
-    psf_vmem,  # VMEM [N, Bh+8, W+128]
-    sem,  # DMA semaphore
+    psf_vmem,  # VMEM [2, N, Bh+8, W+128] double-buffered PSF blocks
+    sem,  # DMA semaphores [2]
     run_max_ref,  # SMEM [1, 1] running max across grid steps
     run_idx_ref,  # SMEM [1, 1] running argmax
     *,
@@ -58,6 +58,7 @@ def _step_kernel(
     width: int,
     height: int,
     allow_negative: bool,
+    use_weight: bool,
     integration_mode: str,  # "signed" | "normal" | "squared"
 ):
     n_channels = len(chan_coefs)
@@ -65,27 +66,43 @@ def _step_kernel(
     i = pl.program_id(0)
     y = peak_ref[0]
     x = peak_ref[1]
+
     # Shifted-PSF block: rows [H - y + i*Bh, ...), cols [W - x, W - x + W).
     # HBM slices must start on (8, 128) tile boundaries, so fetch the aligned
     # superset and rotate the sub-tile offset away in VMEM (tpu dynamic
     # rotate); the padded PSF has 8 extra rows / 128 extra cols at the end.
-    row_start = height - y + i * block_rows
     col_start = width - x
-    row_off = jax.lax.rem(row_start, 8)
     col_off = jax.lax.rem(col_start, 128)
-    row_al = pl.multiple_of(jax.lax.div(row_start, 8) * 8, 8)
     col_al = pl.multiple_of(jax.lax.div(col_start, 128) * 128, 128)
-    dma = pltpu.make_async_copy(
-        psf_hbm.at[
-            :,
-            pl.ds(row_al, block_rows + 8),
-            pl.ds(col_al, width + 128),
-        ],
-        psf_vmem,
-        sem,
-    )
-    dma.start()
-    dma.wait()
+
+    def psf_dma(slot, block_index):
+        row_start = height - y + block_index * block_rows
+        row_al = pl.multiple_of(jax.lax.div(row_start, 8) * 8, 8)
+        return pltpu.make_async_copy(
+            psf_hbm.at[
+                :,
+                pl.ds(row_al, block_rows + 8),
+                pl.ds(col_al, width + 128),
+            ],
+            psf_vmem.at[slot],
+            sem.at[slot],
+        )
+
+    # Double buffering: the first step issues its own fetch; every step
+    # prefetches the next block's PSF while computing on the current one.
+    @pl.when(i == 0)
+    def _():
+        psf_dma(0, 0).start()
+
+    @pl.when(i + 1 < pl.num_programs(0))
+    def _():
+        psf_dma((i + 1) % 2, i + 1).start()
+
+    psf_dma(i % 2, i).wait()
+    slot = i % 2
+
+    row_start = height - y + i * block_rows
+    row_off = jax.lax.rem(row_start, 8)
 
     n_images = (
         n_channels * n_polarizations if integration_mode != "signed" else 1
@@ -98,7 +115,7 @@ def _step_kernel(
     planes = []
     for plane in range(n_images):
         value = values_ref[plane]
-        psf_block = pltpu.roll(psf_vmem[plane], shift_r, 0)
+        psf_block = pltpu.roll(psf_vmem[slot, plane], shift_r, 0)
         psf_block = pltpu.roll(psf_block, shift_c, 1)
         psf_block = psf_block[:block_rows, :width]
         new_plane = residual_ref[plane] - value * psf_block
@@ -136,7 +153,7 @@ def _step_kernel(
                 sq = term if sq is None else sq + term
         integ = jnp.sqrt(jnp.maximum(sq, 0.0))
 
-    weighted = integ * weight_ref[...]
+    weighted = integ * weight_ref[...] if use_weight else integ
     cmp = jnp.abs(weighted) if allow_negative else weighted
     flat = cmp.reshape(-1)
     block_max = jnp.max(flat)
@@ -193,6 +210,7 @@ def integration_coefficients(meta) -> Tuple[str, np.ndarray, np.ndarray]:
         "integration_mode",
         "chan_coefs",
         "pol_coefs",
+        "use_weight",
         "interpret",
     ),
 )
@@ -209,10 +227,17 @@ def fused_clean_step(
     integration_mode: str = "signed",
     chan_coefs: Tuple[float, ...] = (1.0,),
     pol_coefs: Tuple[float, ...] = (1.0,),
+    use_weight: bool = True,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """One fused clean step.  Returns (new_residual, peak_index, peak_cmp)."""
+    """One fused clean step.  Returns (new_residual, peak_index, peak_cmp).
+
+    When ``use_weight`` is False (no mask, no border, no RMS factor) the
+    weight array is never read, saving an HBM pass per iteration.
+    """
     n, height, width = residual.shape
+    if not use_weight:
+        weight = jnp.zeros((8, 128), jnp.float32)
     assert height % block_rows == 0, (height, block_rows)
     n_blocks = height // block_rows
     peak = jnp.stack([peak_y, peak_x]).astype(jnp.int32)
@@ -230,7 +255,9 @@ def fused_clean_step(
                 (block_rows, width),
                 lambda i, s, v: (i, 0),
                 memory_space=pltpu.VMEM,
-            ),
+            )
+            if use_weight
+            else pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),  # psf stays in HBM
         ],
         out_specs=[
@@ -247,8 +274,8 @@ def fused_clean_step(
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((n, block_rows + 8, width + 128), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, n, block_rows + 8, width + 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SMEM((1, 1), jnp.float32),
             pltpu.SMEM((1, 1), jnp.int32),
         ],
@@ -261,6 +288,7 @@ def fused_clean_step(
         width=width,
         height=height,
         allow_negative=allow_negative,
+        use_weight=use_weight,
         integration_mode=integration_mode,
     )
     new_res, global_max, global_idx = pl.pallas_call(
@@ -296,6 +324,7 @@ def pad_psfs(psfs: jnp.ndarray) -> jnp.ndarray:
         "stop_on_negative",
         "fitter",
         "block_rows",
+        "use_weight",
         "interpret",
     ),
 )
@@ -321,6 +350,7 @@ def hogbom_loop_pallas(
     stop_on_negative: bool,
     fitter,
     block_rows: int = 256,
+    use_weight: bool = True,
     interpret: bool = False,
 ):
     """Full Högbom minor loop with the fused Pallas step.
@@ -392,6 +422,7 @@ def hogbom_loop_pallas(
             integration_mode=mode,
             chan_coefs=chan_t,
             pol_coefs=pol_t,
+            use_weight=use_weight,
             interpret=interpret,
         )
         ny = (peak_index // width).astype(jnp.int32)

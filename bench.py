@@ -74,6 +74,14 @@ def _crop_center(img, n):
 
 def run_radler_tpu(psf, residual, n_iter: int, engine: str):
     import jax
+
+    # Persistent compilation cache: repeated bench runs skip the (remote)
+    # TPU compiles entirely.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
     import jax.numpy as jnp
     import radler_tpu as rd
 

@@ -754,37 +754,53 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
     def _fit_components_single_image(
         self, dirty_set, model_set, psfs, image_index: int, comp_opt
     ) -> None:
-        """Gradient-descent refinement of all components of one image over
-        all scales (``RunFullComponentFitter``,
-        ``multiscale_algorithm.cc:837-918``)."""
+        """Joint gradient-descent refinement of all components of one image
+        over all scales at once (``RunFullComponentFitter``,
+        ``multiscale_algorithm.cc:837-918``): each scale's components are
+        convolved with the scale-convolved PSF and solved together with
+        :func:`gradient_descent_with_variable_psf`."""
         meta = dirty_set.meta
         width, height = dirty_set.width, dirty_set.height
         psf = psfs[meta.psf_index(image_index)]
         residual = dirty_set.data[image_index]
         model = model_set.data[image_index]
+
+        supports = []
+        conv_psfs = []
+        active_scales = []
         for scale_index, entry in enumerate(self.scale_infos):
             positions = self._component_list.get_positions(scale_index)
             if not positions:
                 continue
-            conv_psf = self._scale_convolve(psf, entry.scale)
-            double_psf = self._scale_convolve(conv_psf, entry.scale)
-            conv_residual = self._scale_convolve(residual, entry.scale)
             support = jnp.zeros((height, width), jnp.float32)
             xs = jnp.asarray([p[0] for p in positions])
             ys = jnp.asarray([p[1] for p in positions])
-            support = support.at[ys, xs].set(1.0)
-            delta, _ = comp_opt.gradient_descent(
-                jnp.zeros((height, width), jnp.float32),
-                conv_residual,
-                double_psf,
-                support_mask=support,
-            )
+            supports.append(support.at[ys, xs].set(1.0))
+            conv_psfs.append(self._scale_convolve(psf, entry.scale))
+            active_scales.append(scale_index)
+        if not supports:
+            return
+        max_scale = self.scale_infos[-1].scale
+        pad_w = get_convolution_size(
+            max_scale, width, self.ms_settings.convolution_padding
+        )
+        pad_h = get_convolution_size(
+            max_scale, height, self.ms_settings.convolution_padding
+        )
+        deltas = comp_opt.gradient_descent_with_variable_psf(
+            supports, residual, conv_psfs, padded_shape=(pad_h, pad_w)
+        )
+        for delta, scale_index in zip(deltas, active_scales):
+            entry = self.scale_infos[scale_index]
+            positions = self._component_list.get_positions(scale_index)
+            delta_host = np.asarray(delta)
             for i, (px, py) in enumerate(positions):
-                value = float(delta[py, px])
                 _, _, vals = self._component_list.get_component(scale_index, i)
-                vals[image_index] += value
+                vals[image_index] += float(delta_host[py, px])
             delta_conv = self._scale_convolve(delta, entry.scale)
             model = model + delta_conv
-            residual = residual - comp_opt.padded_convolve(delta_conv, psf)
+            residual = residual - comp_opt.padded_convolve(
+                delta_conv, psf, padded_shape=(pad_h, pad_w)
+            )
         model_set.data = model_set.data.at[image_index].set(model)
         dirty_set.data = dirty_set.data.at[image_index].set(residual)

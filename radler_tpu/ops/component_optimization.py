@@ -104,6 +104,51 @@ def gradient_descent(
     return _gd_iterations(model, dirty, psf, mask, n_iterations, ph, pw)
 
 
+def gradient_descent_with_variable_psf(
+    supports: "list[jnp.ndarray]",
+    image: jnp.ndarray,
+    psfs: "list[jnp.ndarray]",
+    n_iterations: int = 10,
+    padded_shape=None,
+) -> "list[jnp.ndarray]":
+    """Joint line-search GD over components with per-group PSFs.
+
+    Mirrors ``GradientDescentWithVariablePsf``
+    (``component_optimization.cc:323-400``): one delta image per PSF group
+    (used by multiscale to jointly refine components of every scale, each
+    convolved with its own scale-convolved PSF).  ``supports[g]`` is a 0/1
+    image marking group ``g``'s component positions.
+    """
+    h, w = image.shape
+    if padded_shape is None:
+        padded_shape = (2 * h, 2 * w)
+
+    def conv(x, psf):
+        return padded_convolve(x, psf, padded_shape=padded_shape)
+
+    models = [jnp.zeros((h, w), jnp.float32) for _ in psfs]
+    for _ in range(n_iterations):
+        residual = image
+        for model, psf in zip(models, psfs):
+            residual = residual - conv(model, psf)
+        # Gradient per group: residual correlated with the PSF at component
+        # positions; direction image = gradients re-convolved.
+        gradients = [
+            conv(residual, psf) * support
+            for psf, support in zip(psfs, supports)
+        ]
+        direction = jnp.zeros((h, w), jnp.float32)
+        for gradient, psf in zip(gradients, psfs):
+            direction = direction + conv(gradient, psf)
+        denom = jnp.sum(direction * direction)
+        step = jnp.where(denom > 0.0, jnp.sum(residual * direction) / denom, 0.0)
+        models = [
+            model + step * gradient
+            for model, gradient in zip(models, gradients)
+        ]
+    return models
+
+
 def run_component_optimization(
     dirty_set, model_set, psfs: jnp.ndarray, algorithm: OptimizationAlgorithm
 ) -> None:

@@ -260,3 +260,144 @@ class TestSpectralFitting:
         terms = fitter.fit_image(jnp.asarray(spectra))
         out = np.asarray(fitter.evaluate_image(terms, freqs[1]))
         assert out.shape == (4, 4)
+
+
+class TestComponentOptimization:
+    """Mirrors ``cpp/math/test/test_component_optimization.cc`` scenarios."""
+
+    def _problem(self):
+        size = 32
+        psf = np.zeros((size, size), np.float32)
+        psf[size // 2, size // 2] = 1.0
+        psf[size // 2, size // 2 + 1] = 0.3
+        psf[size // 2 + 1, size // 2] = 0.2
+        model_true = np.zeros((size, size), np.float32)
+        model_true[10, 10] = 2.0
+        model_true[20, 25] = -1.0
+        from radler_tpu.ops.convolution import padded_convolve
+
+        dirty = np.asarray(
+            padded_convolve(jnp.asarray(model_true), jnp.asarray(psf))
+        )
+        return size, psf, model_true, dirty
+
+    def test_linear_solve_exact(self):
+        from radler_tpu.ops.component_optimization import (
+            linear_component_solve,
+        )
+
+        size, psf, model_true, dirty = self._problem()
+        seed = (jnp.asarray(model_true != 0)).astype(jnp.float32) * 1e-30
+        model, residual = linear_component_solve(
+            seed, jnp.asarray(dirty), jnp.asarray(psf)
+        )
+        np.testing.assert_allclose(
+            np.asarray(model)[10, 10], 2.0, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(model)[20, 25], -1.0, atol=1e-4
+        )
+        # Residual is zeroed at component positions (the solver's contract,
+        # component_optimization.cc:181-263).
+        assert abs(np.asarray(residual)[10, 10]) < 1e-5
+
+    def test_gradient_descent_reduces_rms(self):
+        from radler_tpu.ops.component_optimization import gradient_descent
+
+        size, psf, model_true, dirty = self._problem()
+        support = jnp.asarray((model_true != 0).astype(np.float32))
+        model, residual = gradient_descent(
+            jnp.zeros((size, size), jnp.float32),
+            jnp.asarray(dirty),
+            jnp.asarray(psf),
+            support_mask=support,
+        )
+        rms_before = float(np.sqrt((dirty**2).mean()))
+        rms_after = float(jnp.sqrt(jnp.mean(residual**2)))
+        assert rms_after < 0.1 * rms_before
+        assert np.asarray(model)[10, 10] == pytest.approx(2.0, rel=0.05)
+
+    def test_variable_psf_joint_fit(self):
+        from radler_tpu.ops.component_optimization import (
+            gradient_descent_with_variable_psf,
+            padded_convolve,
+        )
+
+        size = 32
+        psf_a = np.zeros((size, size), np.float32)
+        psf_a[size // 2, size // 2] = 1.0
+        psf_b = np.zeros((size, size), np.float32)
+        psf_b[size // 2, size // 2] = 1.0
+        psf_b[size // 2, size // 2 + 1] = 0.5
+        model_a = np.zeros((size, size), np.float32)
+        model_a[8, 8] = 1.5
+        model_b = np.zeros((size, size), np.float32)
+        model_b[22, 20] = 0.7
+        dirty = np.asarray(
+            padded_convolve(jnp.asarray(model_a), jnp.asarray(psf_a))
+            + padded_convolve(jnp.asarray(model_b), jnp.asarray(psf_b))
+        )
+        supports = [
+            jnp.asarray((model_a != 0).astype(np.float32)),
+            jnp.asarray((model_b != 0).astype(np.float32)),
+        ]
+        deltas = gradient_descent_with_variable_psf(
+            supports, jnp.asarray(dirty), [jnp.asarray(psf_a), jnp.asarray(psf_b)]
+        )
+        assert np.asarray(deltas[0])[8, 8] == pytest.approx(1.5, rel=0.05)
+        assert np.asarray(deltas[1])[22, 20] == pytest.approx(0.7, rel=0.1)
+
+
+class TestPallasHogbomLoop:
+    def test_interpret_mode_matches_jnp_loop(self):
+        """The fused-kernel loop (interpret mode) reproduces the jnp
+        while-loop bit-for-bit on a small problem."""
+        import jax
+        from radler_tpu.image_set import CubeMeta
+        from radler_tpu.models.generic_clean import _hogbom_loop
+        from radler_tpu.ops.pallas.hogbom_step import (
+            hogbom_loop_pallas,
+            pad_psfs,
+        )
+
+        rng = np.random.default_rng(0)
+        H = W = 128
+        meta = CubeMeta(1, 1, (1.0,), (True,), 1.0, False, (0.0,))
+        res = jnp.asarray(rng.normal(size=(1, H, W)).astype(np.float32) * 0.01)
+        res = res.at[0, 40, 50].add(2.0)
+        res = res.at[0, 90, 100].add(1.0)
+        model = jnp.zeros((1, H, W), jnp.float32)
+        psf = jnp.zeros((1, H, W), jnp.float32).at[0, H // 2, W // 2].set(1.0)
+        psf = psf.at[0, H // 2, W // 2 + 1].set(0.3)
+        ones = jnp.ones((H, W), jnp.float32)
+        mask = jnp.ones((H, W), bool)
+        common = (
+            jnp.float32(2.0),
+            jnp.int32(50),
+            jnp.int32(40),
+            jnp.asarray(True),
+            jnp.float32(0.02),
+            jnp.float32(0.2),
+            jnp.float32(2.0),
+            jnp.float32(0.0),
+            jnp.int32(0),
+            jnp.int32(200),
+        )
+        res_a, mod_a, it_a, val_a, *_ = _hogbom_loop(
+            res, model, psf, ones, mask, *common,
+            meta=meta, allow_negative=True, stop_on_negative=False,
+            fitter=None, border_h=0, border_v=0, use_rms=False,
+            use_mask=False,
+        )
+        res_b, mod_b, it_b, val_b, *_ = hogbom_loop_pallas(
+            res, model, pad_psfs(psf), ones, ones, *common,
+            meta=meta, allow_negative=True, stop_on_negative=False,
+            fitter=None, block_rows=32, use_weight=False, interpret=True,
+        )
+        assert int(it_a) == int(it_b)
+        np.testing.assert_allclose(
+            np.asarray(res_a), np.asarray(res_b), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(mod_a), np.asarray(mod_b), atol=1e-6
+        )

@@ -14,10 +14,7 @@ through the accessors each major iteration).
 
 from __future__ import annotations
 
-import io
 import json
-from typing import Optional
-
 import numpy as np
 
 _FORMAT_VERSION = 1

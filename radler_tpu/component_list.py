@@ -7,7 +7,7 @@ sky-model writer (see :mod:`radler_tpu.utils.write_model`).
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

@@ -16,7 +16,7 @@ NamedTuple so jitted functions can close over it.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, NamedTuple, Optional, Sequence, Set, Tuple
+from typing import List, NamedTuple, Sequence, Set, Tuple
 
 import numpy as np
 import jax

@@ -22,7 +22,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..image_set import CubeMeta, get_integrated_psf, get_linear_integrated
-from ..ops.convolution import convolve_same, padded_convolve, untrim
+from ..ops.convolution import convolve_same, padded_convolve
 from ..ops.gaussian_fit import (
     Ellipse,
     deconvolve_gaussian,
@@ -34,7 +34,7 @@ from ..ops.psf_subtract import subtract_psf_from_cube
 from ..settings import MultiscaleSettings
 from ..utils import logging as log
 from ..utils.fft_size import get_convolution_size
-from .base import DeconvolutionAlgorithm, DeconvolutionResult
+from .base import DeconvolutionResult
 from .multiscale import (
     MultiScaleAlgorithm,
     initialize_scales,

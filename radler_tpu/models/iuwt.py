@@ -26,7 +26,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..ops import iuwt as iuwt_ops
-from ..ops.convolution import convolve_same, trim, untrim
+from ..ops.convolution import convolve_same, trim
 from ..ops.noise import rms as rms_op
 from ..image_set import get_linear_integrated, get_integrated_psf
 from ..utils import logging as log

@@ -32,7 +32,7 @@ from ..ops.multiscale_kernels import (
     add_shape_component,
 )
 from ..ops.noise import rms as rms_op
-from ..ops.peak_finder import find_peak, window_mask
+from ..ops.peak_finder import find_peak
 from ..ops.psf_subtract import subtract_psf_from_cube
 from ..settings import MultiscaleSettings, MultiscaleShape, OptimizationAlgorithm
 from ..utils.fft_size import get_convolution_size

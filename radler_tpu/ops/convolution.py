@@ -17,6 +17,7 @@ from __future__ import annotations
 from functools import partial
 from typing import Optional, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -62,12 +63,37 @@ def convolve_same(image: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
 
     Equivalent of ``schaapcommon::math::Convolve`` on pre-padded buffers:
     out[p] = sum_q image[q] * kernel[p - q + center].  Batched over leading
-    dims of ``image``; ``kernel`` may have matching leading dims or be 2-D.
+    dims of ``image``; ``kernel`` must have the same spatial size, with
+    matching/broadcastable leading dims.
+
+    Batched 2-D FFTs are mapped plane-by-plane: TPU's batched FFT path loses
+    catastrophic amounts of precision at large sizes (measured 26% relative
+    error for an [8, 2048, 2048] rfft2 where the single-plane transform is
+    exact), and a serial map of full-size FFTs costs the same FLOPs.
     """
     h, w = image.shape[-2:]
-    img_f = jnp.fft.rfft2(image)
-    ker_f = _centered_kernel_fft(kernel, (h, w))
-    return jnp.fft.irfft2(img_f * ker_f, s=(h, w)).astype(image.dtype)
+    assert kernel.shape[-2:] == (h, w), (
+        "convolve_same requires an image-sized (embedded) kernel"
+    )
+    if image.ndim == 2 and kernel.ndim == 2:
+        img_f = jnp.fft.rfft2(image)
+        ker_f = _centered_kernel_fft(kernel, (h, w))
+        return jnp.fft.irfft2(img_f * ker_f, s=(h, w)).astype(image.dtype)
+
+    lead = jnp.broadcast_shapes(image.shape[:-2], kernel.shape[:-2])
+    n = int(np.prod(lead)) if lead else 1
+    img_b = jnp.broadcast_to(image, lead + (h, w)).reshape(n, h, w)
+    ker_rolled = jnp.roll(kernel, (-(h // 2), -(w // 2)), axis=(-2, -1))
+    ker_b = jnp.broadcast_to(ker_rolled, lead + (h, w)).reshape(n, h, w)
+
+    def _one(args):
+        img, ker = args
+        return jnp.fft.irfft2(
+            jnp.fft.rfft2(img) * jnp.fft.rfft2(ker), s=(h, w)
+        )
+
+    out = jax.lax.map(_one, (img_b, ker_b))
+    return out.reshape(lead + (h, w)).astype(image.dtype)
 
 
 @partial(jax.jit, static_argnames=("padded_height", "padded_width"))

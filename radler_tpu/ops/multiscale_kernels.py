@@ -16,7 +16,6 @@ is convolved as one batched FFT.
 from __future__ import annotations
 
 import math
-from typing import Tuple
 
 import numpy as np
 import jax.numpy as jnp

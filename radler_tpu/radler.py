@@ -28,7 +28,6 @@ from .settings import (
 from .work_table import (
     LoadAndStoreImageAccessor,
     LoadOnlyImageAccessor,
-    PsfOffset,
     WorkTable,
     WorkTableEntry,
 )

@@ -11,8 +11,6 @@ from __future__ import annotations
 import math
 from typing import List
 
-import numpy as np
-
 from ..settings import SpectralFittingMode
 from .coordinates import dec_to_string, lm_to_radec, ra_to_string, xy_to_lm
 

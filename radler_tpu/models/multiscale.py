@@ -375,6 +375,12 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
                 for c in range(meta.n_channels)
             ]
 
+        # Per-scale twice-convolved PSF stacks are invariant within a major
+        # iteration; cache them across outer-loop iterations (the reference
+        # recomputes them every minor loop, multiscale_algorithm.cc:331-344).
+        twice_convolved_cache = {}
+        single_convolved_cache = {}
+
         integrated = get_linear_integrated(dirty_set.data, meta)
         self._find_active_scale_convolved_maxima(integrated, report_rms=True)
         scale_with_peak = select_maximum_scale(self.scale_infos)
@@ -416,18 +422,21 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
             scale = entry.scale
 
             # Twice-convolved PSFs + scale-convolved residual cube
-            # (multiscale_algorithm.cc:331-354), one batched FFT each.
-            twice_convolved_psfs = jnp.stack(
-                [
-                    self._scale_convolve(
-                        convolved_psfs[min(c, len(convolved_psfs) - 1)][
-                            scale_with_peak
-                        ],
-                        scale,
-                    )
-                    for c in range(meta.n_channels)
-                ]
-            )
+            # (multiscale_algorithm.cc:331-354); PSF stacks are cached per
+            # scale for the whole major iteration.
+            if scale_with_peak not in twice_convolved_cache:
+                twice_convolved_cache[scale_with_peak] = jnp.stack(
+                    [
+                        self._scale_convolve(
+                            convolved_psfs[min(c, len(convolved_psfs) - 1)][
+                                scale_with_peak
+                            ],
+                            scale,
+                        )
+                        for c in range(meta.n_channels)
+                    ]
+                )
+            twice_convolved_psfs = twice_convolved_cache[scale_with_peak]
             individual_convolved = self._scale_convolve(dirty_set.data, scale)
 
             sub_gain_threshold = abs(current_biased_peak()) * (
@@ -458,6 +467,7 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
                     initial_peak_value,
                     width,
                     height,
+                    single_convolved_cache,
                 )
                 if diverging is None:
                     # Subminor loop found no components (see reference error
@@ -530,6 +540,7 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
         initial_peak_value: float,
         width: int,
         height: int,
+        single_convolved_cache,
     ):
         """``multiscale_algorithm.cc:377-461``.  Returns diverging flag, or
         ``None`` when the subminor loop found no components."""
@@ -586,12 +597,16 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
 
         # Residual correction with the single-convolved PSFs + model add-back
         # of the scale-convolved sparse model (multiscale_algorithm.cc:432-461).
-        single_psfs = jnp.stack(
-            [
-                convolved_psfs[min(c, len(convolved_psfs) - 1)][scale_with_peak]
-                for c in range(meta.n_channels)
-            ]
-        )
+        if scale_with_peak not in single_convolved_cache:
+            single_convolved_cache[scale_with_peak] = jnp.stack(
+                [
+                    convolved_psfs[min(c, len(convolved_psfs) - 1)][
+                        scale_with_peak
+                    ]
+                    for c in range(meta.n_channels)
+                ]
+            )
+        single_psfs = single_convolved_cache[scale_with_peak]
         new_residual, full_model = sub.correct_residual_dirty(
             dirty_set.data, single_psfs
         )

@@ -364,8 +364,11 @@ class ImageSet:
                 acc = term if acc is None else acc + term
             if acc is None:
                 # Zero total weight: the reference's 1/0 scaling makes such
-                # planes non-finite; NaN gives the same effect.
-                acc = jnp.full((H, W), jnp.nan, jnp.float32)
+                # planes non-finite and every integration then skips them via
+                # their zero weight.  A zero-filled plane gives the same
+                # integration results without poisoning whole-cube reductions
+                # (0 * NaN = NaN would break the joined peak search).
+                acc = jnp.zeros((H, W), jnp.float32)
             planes.append(acc)
         self.data = jnp.stack(planes)
 

@@ -160,12 +160,16 @@ class AspAlgorithm(MultiScaleAlgorithm):
                     meta,
                 )
             else:
+                # The Gaussian fit runs on the *unconvolved* integrated dirty
+                # image (the reference's FindScaleConvolvedMaxima overwrites
+                # the scratch with GetLinearIntegrated(data) before
+                # DeconvolveGaussian reads it, asp_algorithm.cc:379,292-297).
                 self._deconvolve_gaussian(
                     entry,
                     dirty_set,
                     model_set,
                     psfs,
-                    integrated,
+                    get_linear_integrated(dirty_set.data, meta),
                     psf_parameters,
                     meta,
                 )

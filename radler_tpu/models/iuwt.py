@@ -38,15 +38,6 @@ except Exception:  # pragma: no cover
     _ndimage = None
 
 
-def _mad_sigma(image: jnp.ndarray) -> float:
-    """MAD(|x|) / 0.674559 (``iuwt_deconvolution_algorithm.cc:104-110``).
-
-    Note the reference takes the median of |x| (not of |x - median|)."""
-    v = jnp.abs(image).reshape(-1)
-    mid = v.shape[0] // 2
-    return float(jnp.sort(v)[mid]) / 0.674559
-
-
 def _exceeds(values: np.ndarray, threshold: float) -> np.ndarray:
     """``ExceedsThreshold`` (``image_analysis.cc:9-15``)."""
     if threshold >= 0.0:
@@ -217,9 +208,12 @@ class _IuwtEngine:
 
     @staticmethod
     def _snr(model_scales, dirty_scales, n_scales: int) -> float:
-        """``Snr`` (``iuwt_deconvolution_algorithm.cc:311-324``)."""
-        m = model_scales[: n_scales + 1]
-        n = dirty_scales[: n_scales + 1]
+        """``Snr`` (``iuwt_deconvolution_algorithm.cc:311-324``): dirty power
+        over (model-response - dirty) error power — note the reference's
+        ``Snr(iuwt, initialDirtyIUWT)`` binds the dirty decomposition to the
+        parameter that contributes the numerator."""
+        m = dirty_scales[: n_scales + 1]
+        n = model_scales[: n_scales + 1]
         m_sum = float(jnp.sum(m * m))
         n_sum = float(jnp.sum((m - n) * (m - n)))
         return m_sum / n_sum if n_sum != 0.0 else np.inf
@@ -287,9 +281,9 @@ class _IuwtEngine:
         (``iuwt_deconvolution_algorithm.cc:414-498``)."""
         width, height = self.width, self.height
         coeffs = iuwt_ops.decompose(dirty, cur_end_scale)
-        self.rmses = np.array(
-            [_mad_sigma(coeffs[s]) for s in range(cur_end_scale)]
-        )
+        from ..ops.noise import mad_sigma_batched
+
+        self.rmses = np.asarray(mad_sigma_batched(coeffs[:cur_end_scale]))
         thresholds = self.rmses * (self.threshold_sigma_level * 4.0 / 5.0)
 
         max_components.clear()

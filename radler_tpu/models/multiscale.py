@@ -107,9 +107,9 @@ def select_maximum_scale(scales: List[ScaleInfo]) -> Optional[int]:
     for i, s in enumerate(scales):
         if s.is_active:
             val = abs(s.max_unnormalized_image_value * s.bias_factor)
-            if best is None or val >= best_val:
-                # note: the reference's map keeps the *last* insertion on
-                # ties, which is the highest scale index
+            if best is None or val > best_val:
+                # Ties keep the lowest scale index: the reference's
+                # map::insert keeps the first insertion for a duplicate key.
                 best, best_val = i, val
     return best
 

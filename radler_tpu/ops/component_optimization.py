@@ -152,24 +152,24 @@ def gradient_descent_with_variable_psf(
 def run_component_optimization(
     dirty_set, model_set, psfs: jnp.ndarray, algorithm: OptimizationAlgorithm
 ) -> None:
-    """Dispatch per image (``generic_clean.cc:26-49``)."""
+    """Dispatch per image (``generic_clean.cc:26-49``).
+
+    Only the model is updated; the reference's solvers take the residual as
+    const and leave the stored residual images untouched."""
     meta = dirty_set.meta
-    new_res = []
     new_mod = []
     for i in range(dirty_set.n_images):
         res = dirty_set.data[i]
         mod = model_set.data[i]
         psf = psfs[meta.psf_index(i)]
         if algorithm == OptimizationAlgorithm.LINEAR_EQUATION_SOLVER:
-            mod, res = linear_component_solve(mod, res, psf)
+            mod, _ = linear_component_solve(mod, res, psf)
         elif algorithm == OptimizationAlgorithm.GRADIENT_DESCENT:
-            mod, res = gradient_descent(mod, res, psf)
+            mod, _ = gradient_descent(mod, res, psf)
         else:
             raise RuntimeError(
                 f"Unsupported optimization algorithm {algorithm} for generic "
                 "clean"
             )
-        new_res.append(res)
         new_mod.append(mod)
-    dirty_set.data = jnp.stack(new_res)
     model_set.data = jnp.stack(new_mod)

@@ -98,3 +98,19 @@ def median_and_stddev_from_mad(image: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.nda
 def rms(image: jnp.ndarray) -> jnp.ndarray:
     """Plain root-mean-square (``ThreadedDeconvolutionTools::RMS``)."""
     return jnp.sqrt(jnp.mean(jnp.square(image)))
+
+
+@jax.jit
+def mad_sigma_batched(planes: jnp.ndarray) -> jnp.ndarray:
+    """Per-plane MAD(|x|)-based sigma for a [S, H, W] stack in one device
+    call (used by IUWT's per-scale thresholds,
+    ``iuwt_deconvolution_algorithm.cc:104-110`` — note that estimator takes
+    the median of |x| directly)."""
+
+    def one(plane):
+        v = jnp.abs(plane).reshape(-1)
+        bits = _orderable_bits(v)
+        mid = jnp.int32(v.shape[0] // 2)
+        return _bits_to_float(_kth_smallest_bits(bits, mid))
+
+    return jax.vmap(one)(planes) / jnp.float32(0.674559)

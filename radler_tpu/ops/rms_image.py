@@ -36,16 +36,16 @@ def gaussian_beam_kernel(
     Equivalent of the restoring-beam raster of schaapcommon's
     ``RestoreImage``; beam axes are FWHM in radians.
     """
-    sigma_maj = beam_major * _FWHM_TO_SIGMA / pixel_scale_l
-    sigma_min = beam_minor * _FWHM_TO_SIGMA / pixel_scale_l
-    ys = np.arange(height) - height // 2
-    xs = np.arange(width) - width // 2
+    # Work in angle units: pixel offsets are scaled per-axis, so non-square
+    # pixels produce the correctly-shaped elliptical window.
+    sigma_maj = max(beam_major * _FWHM_TO_SIGMA, 1e-30)
+    sigma_min = max(beam_minor * _FWHM_TO_SIGMA, 1e-30)
+    ys = (np.arange(height) - height // 2) * pixel_scale_m
+    xs = (np.arange(width) - width // 2) * pixel_scale_l
     yy, xx = np.meshgrid(ys, xs, indexing="ij")
     cos_pa, sin_pa = np.cos(beam_pa), np.sin(beam_pa)
     xr = xx * cos_pa - yy * sin_pa
     yr = xx * sin_pa + yy * cos_pa
-    sigma_maj = max(sigma_maj, 1e-30)
-    sigma_min = max(sigma_min, 1e-30)
     arg = (xr / sigma_maj) ** 2 + (yr / sigma_min) ** 2
     return np.exp(-0.5 * arg).astype(np.float32)
 

@@ -65,15 +65,13 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-@partial(jax.jit, static_argnames=("allow_negative",), donate_argnums=(0, 1))
+@partial(jax.jit, donate_argnums=(0, 1))
 def sharded_clean_step(
     residual: jnp.ndarray,  # [C, P, H, W] sharded (chan, -, tile, -)
     model: jnp.ndarray,  # [C, P, H, W] same sharding
     psfs: jnp.ndarray,  # [C, H, W] sharded (chan, -, -)
     chan_weights: jnp.ndarray,  # [C] replicated
     gain: jnp.ndarray,
-    *,
-    allow_negative: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One fully-sharded Högbom step: joined integrate → global argmax →
     spectrally-independent component subtraction.

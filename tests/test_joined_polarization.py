@@ -160,3 +160,37 @@ def test_local_rms_weighting():
     # RMS-weighted value) is the one cleaned.
     assert model[30, 100] != 0.0
     assert model[30, 20] == 0.0
+
+
+def test_zero_weight_channel_does_not_poison_clean():
+    """Regression: a weight-0 channel (whose plane the reference fills with
+    non-finite garbage and then skips everywhere) must not NaN-poison the
+    joined peak search (image_set.cc:423-462 skip-if-zero semantics)."""
+    C = 2
+    psf = np.zeros((C, SIZE, SIZE), np.float32)
+    psf[:, SIZE // 2, SIZE // 2] = 1.0
+    residual = np.zeros((C, SIZE, SIZE), np.float32)
+    residual[:, 12, 17] = 2.0
+    model = np.zeros_like(residual)
+    s = rd.Settings()
+    s.trimmed_image_width = SIZE
+    s.trimmed_image_height = SIZE
+    s.pixel_scale.x = PIXEL_SCALE
+    s.pixel_scale.y = PIXEL_SCALE
+    s.minor_iteration_count = 100
+    s.absolute_threshold = 1e-6
+    r = rd.Radler(
+        s,
+        psf,
+        residual,
+        model,
+        0.0,
+        rd.Polarization.STOKES_I,
+        frequencies=np.array([[1.0e8, 1.1e8], [1.2e8, 1.3e8]]),
+        weights=np.array([1.0, 0.0]),
+    )
+    r.perform(0)
+    # Channel 0 cleaned normally.
+    assert model[0, 12, 17] == pytest.approx(2.0, abs=1e-4)
+    assert abs(residual[0, 12, 17]) < 1e-4
+    assert np.isfinite(model).all()

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from ..image_set import CubeMeta, get_integrated_psf, get_linear_integrated
 from ..component_list import ComponentList
-from ..ops.convolution import convolve_same
+from ..ops.convolution import convolve_one_with_many, convolve_same
 from ..ops.multiscale_kernels import (
     embedded_kernel,
     kernel_peak_value,
@@ -242,9 +242,7 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
             bank = jnp.stack(
                 [self._kernel(s.scale, h, w) for _, s in conv_scales]
             )  # [S, H, W]
-            convolved = convolve_same(
-                jnp.broadcast_to(integrated, bank.shape), bank
-            )
+            convolved = convolve_one_with_many(integrated, bank)
         for i, entry in active:
             if entry.scale == 0.0:
                 image = integrated

@@ -96,6 +96,22 @@ def convolve_same(image: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(lead + (h, w)).astype(image.dtype)
 
 
+def convolve_one_with_many(
+    image: jnp.ndarray, kernels: jnp.ndarray
+) -> jnp.ndarray:
+    """Convolve one [H, W] image with a [S, H, W] kernel bank, computing the
+    image transform once (used by the multiscale scale-peak search)."""
+    h, w = image.shape
+    assert kernels.shape[-2:] == (h, w)
+    img_f = jnp.fft.rfft2(image)
+    ker_rolled = jnp.roll(kernels, (-(h // 2), -(w // 2)), axis=(-2, -1))
+
+    def _one(ker):
+        return jnp.fft.irfft2(img_f * jnp.fft.rfft2(ker), s=(h, w))
+
+    return jax.lax.map(_one, ker_rolled).astype(image.dtype)
+
+
 @partial(jax.jit, static_argnames=("padded_height", "padded_width"))
 def _padded_convolve_impl(
     image: jnp.ndarray,

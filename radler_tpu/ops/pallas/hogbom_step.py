@@ -258,7 +258,7 @@ def fused_clean_step(
             )
             if use_weight
             else pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # psf stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # psf stays in HBM
         ],
         out_specs=[
             pl.BlockSpec(

@@ -65,6 +65,8 @@ class AspAlgorithm(MultiScaleAlgorithm):
         width, height = dirty_set.width, dirty_set.height
         if self.stop_on_negative_components:
             self.allow_negative_components = True
+        # Masks/borders may have changed between major iterations.
+        self._valid_stack_cache = None
 
         initialize_scales(
             self.scale_infos,

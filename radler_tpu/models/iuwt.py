@@ -259,11 +259,31 @@ class _IuwtEngine:
         x2 = new_x2 if new_x2 < width else width
         y1 = new_y1 if new_y1 >= 0 else 0
         y2 = new_y2 if new_y2 < height else height
-        while (x2 - x1) % 8 != 0:
-            x2 -= 1
-        while (y2 - y1) % 8 != 0:
-            y2 -= 1
+        # The reference aligns the box to /8 (AdjustBox); on TPU every
+        # distinct box shape is a separate XLA compilation of the whole
+        # masked-CG pipeline, so round the box *up* to a power of two
+        # instead: at most log2(width/128) shapes ever compile, and the
+        # enlarged box only reduces trim-induced boundary effects (the
+        # structure mask still restricts the solve).
+        x1, x2 = _IuwtEngine._grow_to_pow2(x1, x2, width)
+        y1, y2 = _IuwtEngine._grow_to_pow2(y1, y2, height)
         return x1, y1, x2, y2
+
+    @staticmethod
+    def _grow_to_pow2(lo: int, hi: int, limit: int) -> Tuple[int, int]:
+        """Expand [lo, hi) to the next power-of-two length, kept inside
+        [0, limit); falls back to the full axis when it cannot fit."""
+        size = hi - lo
+        target = 1 << max(size - 1, 1).bit_length()
+        if target >= limit:
+            return 0, limit
+        grow = target - size
+        lo = max(0, lo - grow // 2)
+        hi = lo + target
+        if hi > limit:
+            hi = limit
+            lo = hi - target
+        return lo, hi
 
     # -- structure find+deconvolve ----------------------------------------
     def find_and_deconvolve_structure(

@@ -17,10 +17,12 @@ redesigned TPU-first:
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 import math
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..image_set import CubeMeta, get_integrated_psf, get_linear_integrated
@@ -32,7 +34,7 @@ from ..ops.multiscale_kernels import (
     add_shape_component,
 )
 from ..ops.noise import rms as rms_op
-from ..ops.peak_finder import find_peak
+from ..ops.peak_finder import _FLT_MIN, find_peak, window_mask
 from ..ops.psf_subtract import subtract_psf_from_cube
 from ..settings import MultiscaleSettings, MultiscaleShape, OptimizationAlgorithm
 from ..utils.fft_size import get_convolution_size
@@ -114,6 +116,49 @@ def select_maximum_scale(scales: List[ScaleInfo]) -> Optional[int]:
     return best
 
 
+@partial(
+    jax.jit, static_argnames=("perm", "allow_negative", "use_rms")
+)
+def _scale_maxima_jit(
+    integrated: jnp.ndarray,  # [H, W]
+    bank: jnp.ndarray,  # [S_conv, H, W] embedded kernels (nonzero scales)
+    valid: jnp.ndarray,  # [S, H, W] bool searchable windows
+    rms_factor: jnp.ndarray,  # [H, W] (scalar dummy when use_rms=False)
+    *,
+    perm: Tuple[int, ...],  # per-scale source slot: 0=raw, 1+i=bank[i]
+    allow_negative: bool,
+    use_rms: bool,
+):
+    """Fused scale-bank convolution + per-scale masked argmax.
+
+    One device round-trip per outer multiscale iteration instead of one
+    dispatch and ~4 scalar transfers *per scale* (each ≈1.5 ms through a
+    remote-TPU tunnel)."""
+    h, w = integrated.shape
+    if bank.shape[0]:
+        conv = convolve_one_with_many(integrated, bank)
+        sources = jnp.concatenate([integrated[None], conv])
+    else:
+        sources = integrated[None]
+    images = sources[jnp.asarray(perm)]  # [S, H, W], scale_infos order
+    weighted = images * rms_factor if use_rms else images
+    cmp = jnp.abs(weighted) if allow_negative else weighted
+    masked = jnp.where(valid, cmp, -jnp.inf).reshape(len(perm), h * w)
+    idx = jnp.argmax(masked, axis=1)
+    peak_cmp = jnp.take_along_axis(masked, idx[:, None], axis=1)[:, 0]
+    found = peak_cmp > _FLT_MIN
+    xs = (idx % w).astype(jnp.int32)
+    ys = (idx // w).astype(jnp.int32)
+    signed = jnp.take_along_axis(
+        (weighted if use_rms else images).reshape(len(perm), h * w),
+        idx[:, None],
+        axis=1,
+    )[:, 0]
+    normalized = signed / rms_factor[ys, xs] if use_rms else signed
+    rms = jnp.sqrt(jnp.mean(images * images, axis=(1, 2)))
+    return signed, xs, ys, found, normalized, rms
+
+
 class MultiScaleAlgorithm(DeconvolutionAlgorithm):
     """``cpp/algorithms/multiscale_algorithm.{h,cc}``."""
 
@@ -140,6 +185,7 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
         self.scale_masks: List[np.ndarray] = []
         self._component_list: Optional[ComponentList] = None
         self._kernel_cache: Dict[Tuple, jnp.ndarray] = {}
+        self._valid_stack_cache: Optional[jnp.ndarray] = None
 
     # -- plumbing used by ParallelDeconvolution ------------------------
     def set_auto_mask_mode(self, track: bool, use: bool) -> None:
@@ -179,6 +225,7 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
         c.scale_masks = []
         c._component_list = None
         c._kernel_cache = {}
+        c._valid_stack_cache = None
         return c
 
     # -- kernels -------------------------------------------------------
@@ -226,71 +273,86 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
                 )
         return convolved
 
-    # -- peak search over all active scales -----------------------------
+    # -- peak search over all scales -------------------------------------
+    def _scale_valid_stack(self, height: int, width: int) -> jnp.ndarray:
+        """[S, H, W] bool stack of searchable windows per scale: the
+        scale-dependent border (``multiscale_algorithm.cc:597-603``) ANDed
+        with the per-scale auto-mask or the clean mask.  Masks and borders
+        are fixed within a major iteration, so the stack is cached and
+        invalidated at the top of :meth:`execute_major_iteration`."""
+        if self._valid_stack_cache is not None:
+            return self._valid_stack_cache
+        stack = np.zeros((len(self.scale_infos), height, width), dtype=bool)
+        for i, entry in enumerate(self.scale_infos):
+            x_border = int(round(width * self.clean_border_ratio))
+            y_border = int(round(height * self.clean_border_ratio))
+            if entry.scale != 0.0:
+                # FindPeakDirect (scale 0) uses the plain border ratio only.
+                border_scale = int(math.ceil(entry.scale * 0.5))
+                x_border = max(x_border, border_scale)
+                y_border = max(y_border, border_scale)
+            m = window_mask(height, width, x_border, y_border)
+            if self.use_per_scale_masks and self.scale_masks:
+                m = m & np.asarray(self.scale_masks[i])
+            elif self.clean_mask is not None:
+                m = m & np.asarray(self.clean_mask)
+            stack[i] = m
+        self._valid_stack_cache = jnp.asarray(stack)
+        return self._valid_stack_cache
+
     def _find_active_scale_convolved_maxima(
         self, integrated: jnp.ndarray, report_rms: bool
     ) -> None:
         """Batched equivalent of ``FindActiveScaleConvolvedMaxima``
         (``multiscale_algorithm.cc:578-634``) +
-        ``FindSingleScalePeak`` (``threaded_deconvolution_tools.cc:52-107``)."""
+        ``FindSingleScalePeak`` (``threaded_deconvolution_tools.cc:52-107``).
+
+        One jitted call convolves the integrated image with the full scale
+        kernel bank (shared image FFT) and reduces every scale's masked
+        argmax on-device; a single small host transfer then updates all
+        ``ScaleInfo`` entries.  Unlike the reference, *inactive* scales are
+        refreshed too — ``select_maximum_scale`` and ``_activate_scales``
+        filter on ``is_active``, so this only makes reactivation decisions
+        use current rather than stale peaks, and it keeps the compiled
+        computation shape-stable across outer iterations (no recompiles
+        when the active set changes)."""
         h, w = integrated.shape
-        active = [
-            (i, s) for i, s in enumerate(self.scale_infos) if s.is_active
-        ]
-        conv_scales = [(i, s) for i, s in active if s.scale != 0.0]
-        if conv_scales:
-            bank = jnp.stack(
-                [self._kernel(s.scale, h, w) for _, s in conv_scales]
-            )  # [S, H, W]
-            convolved = convolve_one_with_many(integrated, bank)
-        for i, entry in active:
-            if entry.scale == 0.0:
-                image = integrated
-                border_scale = 0
-            else:
-                pos = next(
-                    j for j, (idx, _) in enumerate(conv_scales) if idx == i
-                )
-                image = convolved[pos]
-                border_scale = int(math.ceil(entry.scale * 0.5))
-            x_border = max(
-                int(round(w * self.clean_border_ratio)), border_scale
-            )
-            y_border = max(
-                int(round(h * self.clean_border_ratio)), border_scale
-            )
-            if entry.scale == 0.0:
-                # FindPeakDirect uses the plain border ratio only.
-                x_border = int(round(w * self.clean_border_ratio))
-                y_border = int(round(h * self.clean_border_ratio))
+        entries = self.scale_infos
+        conv_idx = [i for i, s in enumerate(entries) if s.scale != 0.0]
+        bank = (
+            jnp.stack([self._kernel(entries[i].scale, h, w) for i in conv_idx])
+            if conv_idx
+            else jnp.zeros((0, h, w), integrated.dtype)
+        )
+        # Source permutation: slot 0 is the unconvolved image (scale 0),
+        # slots 1.. are the bank outputs in ``conv_idx`` order.
+        perm = np.zeros(len(entries), np.int32)
+        for pos, i in enumerate(conv_idx):
+            perm[i] = pos + 1
+        use_rms = self.rms_factor_image is not None
+        rms_factor = (
+            self.rms_factor_image
+            if use_rms
+            else jnp.ones((), jnp.float32)
+        )
+        out = _scale_maxima_jit(
+            integrated,
+            bank,
+            self._scale_valid_stack(h, w),
+            rms_factor,
+            perm=tuple(int(p) for p in perm),
+            allow_negative=self.allow_negative_components,
+            use_rms=use_rms,
+        )
+        values, xs, ys, found, normalized, rms = jax.device_get(out)
+        for i, entry in enumerate(entries):
             if report_rms:
-                entry.rms = float(rms_op(image))
-            weighted = image
-            if self.rms_factor_image is not None:
-                weighted = image * self.rms_factor_image
-            if self.use_per_scale_masks and self.scale_masks:
-                mask = jnp.asarray(self.scale_masks[i])
-            elif self.clean_mask is not None:
-                mask = jnp.asarray(self.clean_mask)
-            else:
-                mask = None
-            pk = find_peak(
-                weighted,
-                self.allow_negative_components,
-                x_border,
-                y_border,
-                mask,
-            )
-            if bool(pk.found):
-                entry.max_unnormalized_image_value = float(pk.value)
-                entry.max_image_value_x = int(pk.x)
-                entry.max_image_value_y = int(pk.y)
-                if self.rms_factor_image is not None:
-                    entry.max_normalized_image_value = float(
-                        pk.value
-                    ) / float(self.rms_factor_image[int(pk.y), int(pk.x)])
-                else:
-                    entry.max_normalized_image_value = float(pk.value)
+                entry.rms = float(rms[i])
+            if bool(found[i]):
+                entry.max_unnormalized_image_value = float(values[i])
+                entry.max_normalized_image_value = float(normalized[i])
+                entry.max_image_value_x = int(xs[i])
+                entry.max_image_value_y = int(ys[i])
             else:
                 entry.max_unnormalized_image_value = 0.0
                 entry.max_normalized_image_value = 0.0
@@ -319,6 +381,8 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
         width, height = dirty_set.width, dirty_set.height
         if self.stop_on_negative_components:
             self.allow_negative_components = True
+        # Masks/borders may have changed between major iterations.
+        self._valid_stack_cache = None
 
         initialize_scales(
             self.scale_infos,

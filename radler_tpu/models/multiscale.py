@@ -27,7 +27,11 @@ import jax.numpy as jnp
 
 from ..image_set import CubeMeta, get_integrated_psf, get_linear_integrated
 from ..component_list import ComponentList
-from ..ops.convolution import convolve_one_with_many, convolve_same
+from ..ops.convolution import (
+    convolve_same,
+    convolve_same_prefft,
+    prepare_kernel_fft,
+)
 from ..ops.multiscale_kernels import (
     embedded_kernel,
     kernel_peak_value,
@@ -121,7 +125,7 @@ def select_maximum_scale(scales: List[ScaleInfo]) -> Optional[int]:
 )
 def _scale_maxima_jit(
     integrated: jnp.ndarray,  # [H, W]
-    bank: jnp.ndarray,  # [S_conv, H, W] embedded kernels (nonzero scales)
+    bank_f: jnp.ndarray,  # [S_conv, H, W//2+1] kernel spectra (nonzero scales)
     valid: jnp.ndarray,  # [S, H, W] bool searchable windows
     rms_factor: jnp.ndarray,  # [H, W] (scalar dummy when use_rms=False)
     *,
@@ -133,10 +137,14 @@ def _scale_maxima_jit(
 
     One device round-trip per outer multiscale iteration instead of one
     dispatch and ~4 scalar transfers *per scale* (each ≈1.5 ms through a
-    remote-TPU tunnel)."""
+    remote-TPU tunnel).  The kernel spectra arrive precomputed, so each
+    call costs one forward FFT plus one inverse FFT per scale."""
     h, w = integrated.shape
-    if bank.shape[0]:
-        conv = convolve_one_with_many(integrated, bank)
+    if bank_f.shape[0]:
+        img_f = jnp.fft.rfft2(integrated)
+        conv = jax.lax.map(
+            lambda kf: jnp.fft.irfft2(img_f * kf, s=(h, w)), bank_f
+        ).astype(integrated.dtype)
         sources = jnp.concatenate([integrated[None], conv])
     else:
         sources = integrated[None]
@@ -237,11 +245,22 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
             )
         return self._kernel_cache[key]
 
+    def _kernel_fft(self, scale: float, height: int, width: int) -> jnp.ndarray:
+        """Cached kernel spectrum: the scale kernels are fixed for a run, so
+        their transforms are computed once and reused by every convolution
+        (the reference re-runs the kernel FFT inside each Convolve call)."""
+        key = ("fft", round(scale, 6), height, width, self.ms_settings.shape)
+        if key not in self._kernel_cache:
+            self._kernel_cache[key] = prepare_kernel_fft(
+                self._kernel(scale, height, width)
+            )
+        return self._kernel_cache[key]
+
     def _scale_convolve(self, images: jnp.ndarray, scale: float) -> jnp.ndarray:
         if scale == 0.0:
             return images
         h, w = images.shape[-2:]
-        return convolve_same(images, self._kernel(scale, h, w))
+        return convolve_same_prefft(images, self._kernel_fft(scale, h, w))
 
     # -- PSF preparation (``ConvolvePsfs``, multiscale_algorithm.cc:29-88) --
     def _convolve_psfs(
@@ -319,11 +338,16 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
         h, w = integrated.shape
         entries = self.scale_infos
         conv_idx = [i for i, s in enumerate(entries) if s.scale != 0.0]
-        bank = (
-            jnp.stack([self._kernel(entries[i].scale, h, w) for i in conv_idx])
-            if conv_idx
-            else jnp.zeros((0, h, w), integrated.dtype)
-        )
+        bank_key = ("bankf", h, w, tuple(entries[i].scale for i in conv_idx))
+        if bank_key not in self._kernel_cache:
+            self._kernel_cache[bank_key] = (
+                jnp.stack(
+                    [self._kernel_fft(entries[i].scale, h, w) for i in conv_idx]
+                )
+                if conv_idx
+                else jnp.zeros((0, h, w // 2 + 1), jnp.complex64)
+            )
+        bank_f = self._kernel_cache[bank_key]
         # Source permutation: slot 0 is the unconvolved image (scale 0),
         # slots 1.. are the bank outputs in ``conv_idx`` order.
         perm = np.zeros(len(entries), np.int32)
@@ -337,7 +361,7 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
         )
         out = _scale_maxima_jit(
             integrated,
-            bank,
+            bank_f,
             self._scale_valid_stack(h, w),
             rms_factor,
             perm=tuple(int(p) for p in perm),

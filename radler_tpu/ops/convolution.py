@@ -112,6 +112,40 @@ def convolve_one_with_many(
     return jax.lax.map(_one, ker_rolled).astype(image.dtype)
 
 
+@jax.jit
+def prepare_kernel_fft(kernel: jnp.ndarray) -> jnp.ndarray:
+    """rfft2 of a centered kernel (leading dims batched via lax.map), for
+    reuse across many :func:`convolve_same_prefft` calls — e.g. the fixed
+    multiscale kernel bank, whose transforms would otherwise be recomputed
+    on every outer iteration."""
+    h, w = kernel.shape[-2:]
+    rolled = jnp.roll(kernel, (-(h // 2), -(w // 2)), axis=(-2, -1))
+    if rolled.ndim == 2:
+        return jnp.fft.rfft2(rolled)
+    lead = rolled.shape[:-2]
+    flat = rolled.reshape((-1, h, w))
+    out = jax.lax.map(jnp.fft.rfft2, flat)
+    return out.reshape(lead + out.shape[-2:])
+
+
+@jax.jit
+def convolve_same_prefft(image: jnp.ndarray, ker_f: jnp.ndarray) -> jnp.ndarray:
+    """Centered circular convolution with a pre-transformed kernel
+    (one shared [H, W//2+1] spectrum applied to every leading plane)."""
+    h, w = image.shape[-2:]
+    if image.ndim == 2:
+        return jnp.fft.irfft2(jnp.fft.rfft2(image) * ker_f, s=(h, w)).astype(
+            image.dtype
+        )
+    lead = image.shape[:-2]
+    flat = image.reshape((-1, h, w))
+
+    def _one(img):
+        return jnp.fft.irfft2(jnp.fft.rfft2(img) * ker_f, s=(h, w))
+
+    return jax.lax.map(_one, flat).reshape(lead + (h, w)).astype(image.dtype)
+
+
 @partial(jax.jit, static_argnames=("padded_height", "padded_width"))
 def _padded_convolve_impl(
     image: jnp.ndarray,

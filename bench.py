@@ -113,6 +113,101 @@ def run_radler_tpu(psf, residual, n_iter: int, engine: str):
     return iters, dt
 
 
+def make_diffuse_problem(size: int, n_channels: int, seed: int = 5):
+    """Extended-emission multi-channel problem for the multiscale / IUWT
+    configs (BASELINE.md configs 3 and 4)."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+    r2 = (yy - size // 2) ** 2 + (xx - size // 2) ** 2
+    psfs = []
+    for c in range(n_channels):
+        w = 2.5 * (1.0 + 0.04 * c)
+        p = np.exp(-r2 / (2 * w * w))
+        p += 0.06 * np.exp(-((np.sqrt(r2) - 14 * (1 + 0.03 * c)) ** 2) / 6)
+        psfs.append(p.astype(np.float32))
+    psfs = np.stack(psfs)
+    sky = np.zeros((size, size), np.float32)
+    for _ in range(60):
+        cy, cx = rng.integers(size // 8, 7 * size // 8, 2)
+        s = rng.uniform(1.5, 25)
+        a = rng.uniform(0.2, 1.0)
+        m = max(1, int(4 * s))
+        y0, y1 = max(0, cy - m), min(size, cy + m)
+        x0, x1 = max(0, cx - m), min(size, cx + m)
+        sky[y0:y1, x0:x1] += a * np.exp(
+            -((yy[y0:y1, x0:x1] - cy) ** 2 + (xx[y0:y1, x0:x1] - cx) ** 2)
+            / (2 * s * s)
+        )
+    residual = np.empty((n_channels, size, size), np.float32)
+    for c in range(n_channels):
+        fp = np.fft.rfft2(np.fft.ifftshift(psfs[c]))
+        residual[c] = np.fft.irfft2(
+            np.fft.rfft2(sky * (1 + 0.1 * c)) * fp, s=(size, size)
+        ).astype(np.float32)
+    return psfs, residual
+
+
+def run_multiscale(size: int, n_channels: int, n_iter: int):
+    """Config 3: multiscale CLEAN, joined channels, polynomial spectral fit."""
+    import jax
+    import radler_tpu as rd
+
+    psfs, residual = make_diffuse_problem(size, n_channels)
+    s = rd.Settings()
+    s.trimmed_image_width = size
+    s.trimmed_image_height = size
+    s.algorithm_type = rd.AlgorithmType.MULTISCALE
+    s.minor_iteration_count = n_iter
+    s.minor_loop_gain = 0.1
+    s.major_loop_gain = 0.85
+    s.spectral_fitting.mode = rd.SpectralFittingMode.POLYNOMIAL
+    s.spectral_fitting.terms = 2
+    freqs = np.array(
+        [[1.0e8 + c * 1e7, 1.1e8 + c * 1e7] for c in range(n_channels)]
+    )
+    model = np.zeros_like(residual)
+    resid = residual.copy()
+    r = rd.Radler(s, psfs, resid, model, 0.0, frequencies=freqs)
+    rms0 = float(np.sqrt(np.mean(resid[0] ** 2)))
+    t0 = time.perf_counter()
+    r.perform(0)
+    dt = time.perf_counter() - t0
+    rms1 = float(np.sqrt(np.mean(resid[0] ** 2)))
+    print(
+        f"[bench] multiscale {size}^2 x{n_channels}ch: {r.iteration_number} "
+        f"iters in {dt:.1f}s, ch0 rms {rms0:.4f}->{rms1:.4f}",
+        file=sys.stderr,
+    )
+    return r.iteration_number, dt
+
+
+def run_iuwt(size: int, n_iter: int):
+    """Config 4: IUWT wavelet deconvolution."""
+    import radler_tpu as rd
+
+    psfs, residual = make_diffuse_problem(size, 1)
+    s = rd.Settings()
+    s.trimmed_image_width = size
+    s.trimmed_image_height = size
+    s.algorithm_type = rd.AlgorithmType.IUWT
+    s.minor_iteration_count = n_iter
+    s.major_loop_gain = 0.8
+    model = np.zeros_like(residual[0])
+    resid = residual[0].copy()
+    r = rd.Radler(s, psfs[0], resid, model, 0.0)
+    rms0 = float(np.sqrt(np.mean(resid**2)))
+    t0 = time.perf_counter()
+    r.perform(0)
+    dt = time.perf_counter() - t0
+    rms1 = float(np.sqrt(np.mean(resid**2)))
+    print(
+        f"[bench] iuwt {size}^2: {r.iteration_number} iters in {dt:.1f}s, "
+        f"rms {rms0:.4f}->{rms1:.4f}",
+        file=sys.stderr,
+    )
+    return r.iteration_number, dt
+
+
 def run_numpy_baseline(psf, residual, n_iter: int, gain: float = 0.1):
     """Single-host NumPy Högbom core: argmax + PSF-patch subtract."""
     res = residual.copy()
@@ -138,9 +233,33 @@ def main():
     parser.add_argument("--iters", type=int, default=5000)
     parser.add_argument("--baseline-iters", type=int, default=100)
     parser.add_argument(
-        "--engine", choices=("dense", "clark"), default="dense"
+        "--engine",
+        choices=("dense", "clark", "multiscale", "iuwt"),
+        default="dense",
     )
+    parser.add_argument("--channels", type=int, default=8)
     args = parser.parse_args()
+
+    if args.engine in ("multiscale", "iuwt"):
+        if args.engine == "multiscale":
+            iters, dt = run_multiscale(args.size, args.channels, args.iters)
+        else:
+            iters, dt = run_iuwt(args.size, args.iters)
+        ips = iters / dt if dt > 0 else 0.0
+        print(
+            json.dumps(
+                {
+                    "metric": (
+                        f"{args.engine}_minor_loop_iterations_per_s_"
+                        f"{args.size}sq"
+                    ),
+                    "value": round(ips, 2),
+                    "unit": "iterations/s",
+                    "vs_baseline": None,
+                }
+            )
+        )
+        return
 
     psf, residual = make_problem(args.size, args.sources)
 

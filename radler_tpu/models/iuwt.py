@@ -20,7 +20,7 @@ labeling, done host-side with ``scipy.ndimage`` on bitmasks.
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import jax.numpy as jnp
@@ -36,13 +36,6 @@ try:
     from scipy import ndimage as _ndimage
 except Exception:  # pragma: no cover
     _ndimage = None
-
-
-def _exceeds(values: np.ndarray, threshold: float) -> np.ndarray:
-    """``ExceedsThreshold`` (``image_analysis.cc:9-15``)."""
-    if threshold >= 0.0:
-        return values > threshold
-    return (values < threshold) | (values > -threshold)
 
 
 class _IuwtEngine:
@@ -78,6 +71,7 @@ class _IuwtEngine:
         self.rmses: Optional[np.ndarray] = None
         # Current bounding box during trimmed recursion.
         self.box = (0, 0, width, height)
+        self._window_cache: Dict[Tuple[int, int], jnp.ndarray] = {}
 
     # -- PSF characterization (``MeasureRMSPerScale``) -------------------
     def measure_rms_per_scale(self, psf: jnp.ndarray, end_scale: int) -> None:
@@ -95,11 +89,12 @@ class _IuwtEngine:
         )
 
     # -- peak search ------------------------------------------------------
-    def _get_max_abs(
-        self, data: jnp.ndarray, width: int, height: int
-    ) -> Tuple[float, int, int]:
-        """``GetMaxAbs{With,Without}Mask``
-        (``iuwt_deconvolution_algorithm.cc:112-167``)."""
+    def _search_window(self, width: int, height: int) -> jnp.ndarray:
+        """Border + user-mask search window, cached per shape (device)."""
+        key = (width, height)
+        cached = self._window_cache.get(key)
+        if cached is not None:
+            return cached
         x_border = int(self.clean_border * width)
         y_border = int(self.clean_border * height)
         window = np.zeros((height, width), dtype=bool)
@@ -108,41 +103,53 @@ class _IuwtEngine:
         ] = True
         if self.mask is not None and self.mask.shape == (height, width):
             window &= self.mask
-        value = jnp.abs(data) if self.allow_negative else data
-        masked = jnp.where(jnp.asarray(window), value, -jnp.inf)
-        idx = int(jnp.argmax(masked.reshape(-1)))
-        y, x = divmod(idx, width)
-        return float(masked.reshape(-1)[idx]), x, y
+        dev = jnp.asarray(window)
+        self._window_cache[key] = dev
+        return dev
+
+    def _get_max_abs(
+        self, data: jnp.ndarray, width: int, height: int
+    ) -> Tuple[float, int, int]:
+        """``GetMaxAbs{With,Without}Mask``
+        (``iuwt_deconvolution_algorithm.cc:112-167``)."""
+        vals, xs, ys = iuwt_ops.scale_peak_stats(
+            data[None], self._search_window(width, height), self.allow_negative
+        )
+        return float(vals[0]), int(xs[0]), int(ys[0])
 
     # -- structure selection ---------------------------------------------
     def _select_structures(
         self,
-        coeffs: np.ndarray,  # [S+1, H, W] (host)
+        coeffs: jnp.ndarray,  # [S+1, H, W] (device)
         thresholds: np.ndarray,
         min_scale: int,
         end_scale: int,
         prior_mask: Optional[np.ndarray],
         width: int,
         height: int,
-    ) -> Tuple[np.ndarray, int]:
+    ) -> Tuple[jnp.ndarray, int]:
         """``image_analysis::SelectStructures`` (``image_analysis.cc:217-249``).
 
         Because every above-threshold pixel seeds a flood fill bounded to
         above-threshold pixels, the resulting mask is exactly the windowed
-        threshold-exceedance set; no sequential walk is needed.
+        threshold-exceedance set; no sequential walk is needed, and the whole
+        selection stays on-device (one count scalar comes back).
         """
         x_border = int(self.clean_border * width)
         y_border = int(self.clean_border * height)
-        mask = np.zeros((end_scale, height, width), dtype=bool)
         window = np.zeros((height, width), dtype=bool)
         window[
             y_border : height - y_border, x_border : width - x_border
         ] = True
         if prior_mask is not None:
             window = window & prior_mask
-        for scale in range(min_scale, end_scale):
-            mask[scale] = _exceeds(coeffs[scale], thresholds[scale]) & window
-        return mask, int(mask.sum())
+        mask, count = iuwt_ops.select_structures(
+            coeffs,
+            jnp.asarray(thresholds[:end_scale], jnp.float32),
+            jnp.asarray(window),
+            jnp.int32(min_scale),
+        )
+        return mask, int(count)
 
     # -- conjugate gradient -----------------------------------------------
     def _run_conjugate_gradient(
@@ -157,80 +164,19 @@ class _IuwtEngine:
     ) -> Tuple[Optional[jnp.ndarray], bool]:
         """``RunConjugateGradient``
         (``iuwt_deconvolution_algorithm.cc:326-407``): solve for the structure
-        model under the masked-IUWT-of-convolution operator."""
-        initial_dirty_scales = coeffs
-
-        def forward(img):
-            conv = convolve_same(img, psf_kernel_image)
-            sc = iuwt_ops.decompose(conv, n_scales)
-            sc = iuwt_ops.apply_mask(sc, mask)
-            return sc
-
-        def recomposed(sc):
-            return iuwt_ops.recompose(sc, n_scales, False)
-
-        gradient = masked_dirty
-        structure_model = jnp.zeros((height, width), jnp.float32)
-        residual = masked_dirty
-        model_snr = 0.0
-        model_scales = None
-        for minor_iter in range(20):
-            scratch_scales = forward(gradient)
-            scratch = recomposed(scratch_scales)
-            gradient_dot_scratch = float(jnp.vdot(gradient, scratch))
-            if gradient_dot_scratch == 0.0:
-                return None, False
-            residual_dot = float(jnp.vdot(residual, residual))
-            step_size = residual_dot / gradient_dot_scratch
-            structure_model = structure_model + step_size * gradient
-            if residual_dot == 0.0:
-                return None, False
-            residual = residual - step_size * scratch
-            grad_step = float(jnp.vdot(residual, residual)) / residual_dot
-            gradient = residual + grad_step * gradient
-
-            model_scales = forward(structure_model)
-            previous_snr = model_snr
-            model_snr = self._snr(model_scales, initial_dirty_scales, n_scales)
-            if model_snr > 100 and minor_iter > 2:
-                log.debug(f"CG converged after {minor_iter} iterations.")
-                return structure_model, True
-            if model_snr < previous_snr and minor_iter > 5 and model_snr > 3:
-                log.debug(
-                    f"CG SNR decreased after {minor_iter} iterations "
-                    f"(SNR={model_snr})."
-                )
-                return structure_model, True
-        if model_snr <= 3.0:
-            log.debug(f"CG failed to converge (SNR={model_snr}).")
+        model under the masked-IUWT-of-convolution operator.  The whole
+        20-iteration solve runs as one compiled device dispatch
+        (:func:`radler_tpu.ops.iuwt.conjugate_gradient`)."""
+        model, success, snr = iuwt_ops.conjugate_gradient(
+            coeffs, mask, masked_dirty, psf_kernel_image, n_scales
+        )
+        if not bool(success):
+            log.debug(f"CG failed to converge (SNR={float(snr)}).")
             return None, False
-        return structure_model, True
-
-    @staticmethod
-    def _snr(model_scales, dirty_scales, n_scales: int) -> float:
-        """``Snr`` (``iuwt_deconvolution_algorithm.cc:311-324``): dirty power
-        over (model-response - dirty) error power — note the reference's
-        ``Snr(iuwt, initialDirtyIUWT)`` binds the dirty decomposition to the
-        parameter that contributes the numerator."""
-        m = dirty_scales[: n_scales + 1]
-        n = model_scales[: n_scales + 1]
-        m_sum = float(jnp.sum(m * m))
-        n_sum = float(jnp.sum((m - n) * (m - n)))
-        return m_sum / n_sum if n_sum != 0.0 else np.inf
+        log.debug(f"CG solve finished (SNR={float(snr)}).")
+        return model, True
 
     # -- bounding boxes ----------------------------------------------------
-    @staticmethod
-    def _bounding_box(image: np.ndarray) -> Tuple[int, int, int, int]:
-        """1%-of-max support box (``BoundingBox``,
-        ``iuwt_deconvolution_algorithm.cc:180-215``)."""
-        height, width = image.shape
-        m = float(np.max(np.abs(image)))
-        significant = np.abs(image) > m * 0.01
-        ys, xs = np.nonzero(significant)
-        if len(xs) == 0:
-            return 0, 0, width, height
-        return int(xs.min()), int(ys.min()), int(xs.max()) + 1, int(ys.max()) + 1
-
     @staticmethod
     def _adjust_box(
         x1: int, y1: int, x2: int, y2: int, width: int, height: int,
@@ -307,10 +253,20 @@ class _IuwtEngine:
         thresholds = self.rmses * (self.threshold_sigma_level * 4.0 / 5.0)
 
         max_components.clear()
+        vals, xs, ys = iuwt_ops.scale_peak_stats(
+            coeffs[:cur_end_scale],
+            self._search_window(width, height),
+            self.allow_negative,
+        )
+        vals, xs, ys = np.asarray(vals), np.asarray(xs), np.asarray(ys)
         for scale in range(cur_end_scale):
-            val, x, y = self._get_max_abs(coeffs[scale], width, height)
             max_components.append(
-                {"x": x, "y": y, "scale": scale, "val": val}
+                {
+                    "x": int(xs[scale]),
+                    "y": int(ys[scale]),
+                    "scale": scale,
+                    "val": float(vals[scale]),
+                }
             )
 
         max_val = -1.0
@@ -395,8 +351,8 @@ class _IuwtEngine:
     ) -> Tuple[bool, jnp.ndarray]:
         """``FillAndDeconvolveStructure``
         (``iuwt_deconvolution_algorithm.cc:500-626``)."""
-        mask_np, area_size = self._select_structures(
-            np.asarray(coeffs),
+        mask, area_size = self._select_structures(
+            coeffs,
             thresholds,
             cur_min_scale,
             cur_end_scale,
@@ -407,11 +363,12 @@ class _IuwtEngine:
         log.debug(
             f"Flood-filled area contains {area_size} significant components."
         )
-        mask = jnp.asarray(mask_np)
         masked_scales = iuwt_ops.apply_mask(coeffs, mask)
         recomposed = iuwt_ops.recompose(masked_scales, cur_end_scale, False)
 
-        x1, y1, x2, y2 = self._bounding_box(np.asarray(recomposed))
+        x1, y1, x2, y2 = (
+            int(v) for v in np.asarray(iuwt_ops.bounding_box(recomposed))
+        )
         x1, y1, x2, y2 = self._adjust_box(
             x1, y1, x2, y2, width, height, max_comp[2] + 1
         )
@@ -489,7 +446,7 @@ class _IuwtEngine:
             return False, structure_model_full
 
         structure_model_full = self._perform_sub_image_fit_all(
-            mask_np,
+            mask,
             structure_model,
             max_comp,
             structure_model_full,
@@ -511,7 +468,7 @@ class _IuwtEngine:
     # -- per-image flux refits --------------------------------------------
     def _perform_sub_image_fit_all(
         self,
-        mask_np: np.ndarray,
+        mask: jnp.ndarray,  # [S, H, W] bool (device)
         structure_model: jnp.ndarray,
         max_comp: Tuple[int, int, int],
         fitted_model_full: jnp.ndarray,  # [N, H_full, W_full]
@@ -533,7 +490,6 @@ class _IuwtEngine:
             out = jnp.zeros_like(fitted_model_full)
             return out.at[0].set(structure_model)
 
-        mask = jnp.asarray(mask_np)
         correction_factors: List[float] = []
         self._sub_image_fit_single(
             mask,

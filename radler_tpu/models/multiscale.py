@@ -16,9 +16,11 @@ redesigned TPU-first:
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 from functools import partial
 import math
+import os
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -45,6 +47,45 @@ from ..utils.fft_size import get_convolution_size
 from ..utils import logging as log
 from .base import DeconvolutionAlgorithm, DeconvolutionResult
 from .subminor import SubMinorLoop
+
+
+# Optional wall-clock phase breakdown of the minor loop, enabled with
+# RADLER_TPU_PROFILE=1 (see utils/profiling.PhaseTimer).  Each phase syncs on
+# its outputs, so the breakdown is accurate but the run slightly slower.
+_PROFILE = bool(os.environ.get("RADLER_TPU_PROFILE"))
+_TIMER = None
+if _PROFILE:
+    from ..utils.profiling import PhaseTimer
+
+    _TIMER = PhaseTimer()
+
+
+def _phase(name: str, sync=None):
+    if _TIMER is None:
+        return contextlib.nullcontext()
+    return _TIMER.phase(name, sync=sync)
+
+
+def _timed(name: str, fn, *args, **kwargs):
+    """Call ``fn`` and attribute its wall time (synced on array outputs)."""
+    if _TIMER is None:
+        return fn(*args, **kwargs)
+    import time as _time
+
+    t0 = _time.perf_counter()
+    out = fn(*args, **kwargs)
+    for leaf in jax.tree_util.tree_leaves(out):
+        if isinstance(leaf, jax.Array):
+            jax.block_until_ready(leaf)
+    dt = _time.perf_counter() - t0
+    _TIMER.totals[name] = _TIMER.totals.get(name, 0.0) + dt
+    _TIMER.counts[name] = _TIMER.counts.get(name, 0) + 1
+    return out
+
+
+def profile_report() -> str:
+    """The accumulated phase breakdown (empty unless RADLER_TPU_PROFILE)."""
+    return _TIMER.report() if _TIMER is not None else ""
 
 
 @dataclasses.dataclass
@@ -511,19 +552,24 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
             # (multiscale_algorithm.cc:331-354); PSF stacks are cached per
             # scale for the whole major iteration.
             if scale_with_peak not in twice_convolved_cache:
-                twice_convolved_cache[scale_with_peak] = jnp.stack(
-                    [
-                        self._scale_convolve(
-                            convolved_psfs[min(c, len(convolved_psfs) - 1)][
-                                scale_with_peak
-                            ],
-                            scale,
-                        )
-                        for c in range(meta.n_channels)
-                    ]
+                twice_convolved_cache[scale_with_peak] = _timed(
+                    "twice_convolve_psfs",
+                    lambda: jnp.stack(
+                        [
+                            self._scale_convolve(
+                                convolved_psfs[min(c, len(convolved_psfs) - 1)][
+                                    scale_with_peak
+                                ],
+                                scale,
+                            )
+                            for c in range(meta.n_channels)
+                        ]
+                    ),
                 )
             twice_convolved_psfs = twice_convolved_cache[scale_with_peak]
-            individual_convolved = self._scale_convolve(dirty_set.data, scale)
+            individual_convolved = _timed(
+                "scale_convolve_residual", self._scale_convolve, dirty_set.data, scale
+            )
 
             sub_gain_threshold = abs(current_biased_peak()) * (
                 1.0 - self.ms_settings.sub_minor_loop_gain
@@ -574,9 +620,14 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
                 )
 
             self._activate_scales(scale_with_peak)
-            integrated = get_linear_integrated(dirty_set.data, meta)
-            self._find_active_scale_convolved_maxima(
-                integrated, report_rms=False
+            integrated = _timed(
+                "linear_integrate", get_linear_integrated, dirty_set.data, meta
+            )
+            _timed(
+                "find_scale_maxima",
+                self._find_active_scale_convolved_maxima,
+                integrated,
+                report_rms=False,
             )
             scale_with_peak = select_maximum_scale(self.scale_infos)
             if scale_with_peak is None:
@@ -660,8 +711,12 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
         elif self.clean_mask is not None:
             sub.mask = self.clean_mask
 
-        diverging, peak_value = sub.run(
-            individual_convolved, meta, twice_convolved_psfs,
+        diverging, peak_value = _timed(
+            "subminor_run",
+            sub.run,
+            individual_convolved,
+            meta,
+            twice_convolved_psfs,
             self.spectral_fitter,
         )
         if self.divergence_limit != 0.0 and peak_value is not None:
@@ -693,15 +748,29 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
                 ]
             )
         single_psfs = single_convolved_cache[scale_with_peak]
-        new_residual, full_model = sub.correct_residual_dirty(
-            dirty_set.data, single_psfs
+        new_residual, full_model = _timed(
+            "correct_residual",
+            sub.correct_residual_dirty,
+            dirty_set.data,
+            single_psfs,
         )
         dirty_set.data = new_residual
         if self.track_per_scale_masks:
-            sub.update_auto_mask(self.scale_masks[scale_with_peak])
+            _timed(
+                "update_auto_mask",
+                sub.update_auto_mask,
+                self.scale_masks[scale_with_peak],
+            )
         if self.track_components:
-            sub.update_component_list(self._component_list, scale_with_peak)
-        model_add = self._scale_convolve(full_model, entry.scale)
+            _timed(
+                "update_component_list",
+                sub.update_component_list,
+                self._component_list,
+                scale_with_peak,
+            )
+        model_add = _timed(
+            "model_add_convolve", self._scale_convolve, full_model, entry.scale
+        )
         model_set.data = model_set.data + model_add
         return diverging
 

@@ -104,6 +104,141 @@ def apply_mask(scales: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([masked, smooth])
 
 
+@partial(jax.jit, static_argnames=("allow_negative",))
+def scale_peak_stats(
+    coeffs: jnp.ndarray,  # [S, H, W]
+    window: jnp.ndarray,  # [H, W] bool
+    allow_negative: bool = True,
+):
+    """Per-scale masked argmax in one dispatch: returns (vals, xs, ys) with
+    ``vals[s] = max over window of |coeffs[s]|`` (or the signed value when
+    ``allow_negative`` is False).  Device equivalent of the per-scale
+    ``GetMaxAbs{With,Without}Mask`` loop
+    (``iuwt_deconvolution_algorithm.cc:112-167``)."""
+    S, H, W = coeffs.shape
+    value = jnp.abs(coeffs) if allow_negative else coeffs
+    masked = jnp.where(window[None], value, -jnp.inf)
+    flat = masked.reshape(S, H * W)
+    idx = jnp.argmax(flat, axis=1)
+    vals = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0]
+    ys = (idx // W).astype(jnp.int32)
+    xs = (idx % W).astype(jnp.int32)
+    return vals, xs, ys
+
+
+@jax.jit
+def select_structures(
+    coeffs: jnp.ndarray,  # [S+1, H, W]
+    thresholds: jnp.ndarray,  # [S] (signed: negative selects two-sided)
+    window: jnp.ndarray,  # [H, W] bool
+    min_scale: jnp.ndarray,  # scalar int
+):
+    """Device form of ``image_analysis::SelectStructures``
+    (``image_analysis.cc:217-249``) with the flood-fill identity from the
+    host version: every above-threshold pixel seeds a fill bounded to
+    above-threshold pixels, so the selected set is exactly the windowed
+    exceedance set.  Returns (mask [S,H,W] bool, count)."""
+    S = thresholds.shape[0]
+    c = coeffs[:S]
+    thr = thresholds[:, None, None]
+    exceeds = jnp.where(thr >= 0.0, c > thr, (c < thr) | (c > -thr))
+    scale_idx = jnp.arange(S)[:, None, None]
+    mask = exceeds & window[None] & (scale_idx >= min_scale)
+    return mask, jnp.sum(mask)
+
+
+@jax.jit
+def bounding_box(image: jnp.ndarray):
+    """1%-of-max support box (``BoundingBox``,
+    ``iuwt_deconvolution_algorithm.cc:180-215``) computed on-device;
+    returns (x1, y1, x2, y2) as a length-4 int32 vector (full image when no
+    pixel is significant)."""
+    H, W = image.shape
+    a = jnp.abs(image)
+    significant = a > a.max() * 0.01
+    rows = jnp.any(significant, axis=1)
+    cols = jnp.any(significant, axis=0)
+    any_sig = jnp.any(rows)
+    ridx = jnp.arange(H, dtype=jnp.int32)
+    cidx = jnp.arange(W, dtype=jnp.int32)
+    y1 = jnp.min(jnp.where(rows, ridx, H))
+    y2 = jnp.max(jnp.where(rows, ridx, -1)) + 1
+    x1 = jnp.min(jnp.where(cols, cidx, W))
+    x2 = jnp.max(jnp.where(cols, cidx, -1)) + 1
+    box = jnp.stack([x1, y1, x2, y2]).astype(jnp.int32)
+    full = jnp.asarray([0, 0, W, H], jnp.int32)
+    return jnp.where(any_sig, box, full)
+
+
+@partial(jax.jit, static_argnames=("n_scales", "max_iterations"))
+def conjugate_gradient(
+    initial_dirty_scales: jnp.ndarray,  # masked IUWT of the dirty [S+1,H,W]
+    mask: jnp.ndarray,  # [S,H,W] bool
+    masked_dirty: jnp.ndarray,  # [H,W]
+    psf_kernel_image: jnp.ndarray,  # [H,W] (kernel center at H/2,W/2)
+    n_scales: int,
+    max_iterations: int = 20,
+):
+    """``RunConjugateGradient`` (``iuwt_deconvolution_algorithm.cc:326-407``)
+    as one compiled ``lax.while_loop``: the whole 20-iteration masked-CG
+    solve (2 FFT convolutions + 2 IUWT transforms per iteration) runs in a
+    single device dispatch.  Returns (structure_model, success, snr)."""
+    from .convolution import convolve_same
+
+    def forward(img):
+        conv = convolve_same(img, psf_kernel_image)
+        return apply_mask(decompose(conv, n_scales), mask)
+
+    def snr_of(model_scales):
+        m = initial_dirty_scales
+        n = model_scales
+        m_sum = jnp.sum(m * m)
+        n_sum = jnp.sum((m - n) * (m - n))
+        return jnp.where(n_sum != 0.0, m_sum / n_sum, jnp.inf)
+
+    zero_model = jnp.zeros_like(masked_dirty)
+
+    def cond(state):
+        it, model, gradient, residual, snr, done, success = state
+        return (~done) & (it < max_iterations)
+
+    def body(state):
+        it, model, gradient, residual, snr, done, success = state
+        scratch = recompose(forward(gradient), n_scales, False)
+        gds = jnp.vdot(gradient, scratch)
+        rd = jnp.vdot(residual, residual)
+        fail = (gds == 0.0) | (rd == 0.0)
+        step = jnp.where(gds != 0.0, rd / gds, 0.0)
+        model = model + step * gradient
+        residual2 = residual - step * scratch
+        gstep = jnp.where(rd != 0.0, jnp.vdot(residual2, residual2) / rd, 0.0)
+        gradient = residual2 + gstep * gradient
+        prev_snr = snr
+        snr = snr_of(forward(model))
+        conv_hi = (snr > 100.0) & (it > 2)
+        conv_dec = (snr < prev_snr) & (it > 5) & (snr > 3.0)
+        done = fail | conv_hi | conv_dec
+        success = ~fail & (conv_hi | conv_dec)
+        return it + 1, model, gradient, residual2, snr, done, success
+
+    init = (
+        jnp.int32(0),
+        zero_model,
+        masked_dirty,
+        masked_dirty,
+        jnp.float32(0.0),
+        jnp.asarray(False),
+        jnp.asarray(False),
+    )
+    it, model, gradient, residual, snr, done, success = jax.lax.while_loop(
+        cond, body, init
+    )
+    # Ran all iterations without an early exit: success iff SNR > 3
+    # (``iuwt_deconvolution_algorithm.cc:398-406``).
+    success = jnp.where(done, success, snr > 3.0)
+    return model, success, snr
+
+
 def end_scale(max_image_dimension: int) -> int:
     """``max(log2(dim) - 3, 2)`` (``iuwt_decomposition.h:182-184``)."""
     return max(int(math.log2(max_image_dimension)) - 3, 2)

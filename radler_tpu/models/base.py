@@ -49,6 +49,10 @@ class DeconvolutionAlgorithm:
         self.iteration_number: int = 0
         self.spectral_fitter: Optional[SpectralFitter] = None
         self.n_polarizations: int = 1
+        # Optional jax.sharding.Mesh; when set (and >1 device) algorithms
+        # shard the cube over ("chan", "tile") and the minor loop's
+        # reductions become ICI collectives (see radler_tpu/parallel/mesh.py).
+        self.device_mesh = None
 
     # -- configuration ----------------------------------------------------
     def set_spectral_fitter(self, fitter: SpectralFitter, n_polarizations: int):

@@ -224,7 +224,10 @@ class GenericClean(DeconvolutionAlgorithm):
         # restriction is itself only an optimization, generic_clean.cc:
         # 115-162).  Beyond 4096^2 the O(pixels) dense pass loses to the
         # O(set) sparse loop again.
-        dense_beats_subminor = (
+        mesh_active = (
+            self.device_mesh is not None and self.device_mesh.size > 1
+        )
+        dense_beats_subminor = mesh_active or (
             self._use_pallas_loop(height, width)
             and height * width <= 4096 * 4096
         )
@@ -274,7 +277,46 @@ class GenericClean(DeconvolutionAlgorithm):
                 )
                 else None
             )
-            if self._use_pallas_loop(height, width):
+            if mesh_active:
+                # Multi-chip: shard the cube over the ("chan", "tile") mesh
+                # and let XLA partition the jitted minor loop — the joined
+                # integration becomes a channel psum, the argmax a max-reduce
+                # over tiles, and the peak update a broadcast (the
+                # reference's thread-pool exchanges, SURVEY.md §2.2).
+                from ..parallel.mesh import shard_clean_inputs
+
+                (
+                    res_in,
+                    mod_in,
+                    psfs_padded,
+                    rms_in,
+                    mask_in,
+                ) = shard_clean_inputs(
+                    self.device_mesh,
+                    dirty_set.data,
+                    model_set.data,
+                    psfs_padded,
+                    self.rms_factor_image
+                    if use_rms
+                    else jnp.ones((height, width), jnp.float32),
+                    jnp.asarray(self.clean_mask)
+                    if use_mask
+                    else jnp.ones((height, width), bool),
+                )
+            else:
+                res_in = dirty_set.data
+                mod_in = model_set.data
+                rms_in = (
+                    self.rms_factor_image
+                    if use_rms
+                    else jnp.ones((height, width), jnp.float32)
+                )
+                mask_in = (
+                    jnp.asarray(self.clean_mask)
+                    if use_mask
+                    else jnp.ones((height, width), bool)
+                )
+            if not mesh_active and self._use_pallas_loop(height, width):
                 return self._run_pallas_hogbom(
                     dirty_set,
                     model_set,
@@ -289,15 +331,11 @@ class GenericClean(DeconvolutionAlgorithm):
                     vb,
                 )
             res, mod, it, value, found_f, diverging_f = _hogbom_loop(
-                dirty_set.data,
-                model_set.data,
+                res_in,
+                mod_in,
                 psfs_padded,
-                self.rms_factor_image
-                if use_rms
-                else jnp.ones((height, width), jnp.float32),
-                jnp.asarray(self.clean_mask)
-                if use_mask
-                else jnp.ones((height, width), bool),
+                rms_in,
+                mask_in,
                 pk.value,
                 pk.x,
                 pk.y,

@@ -144,6 +144,63 @@ def _subminor_while(
     return res_k, mod_k, it, max_val, diverging
 
 
+@partial(jax.jit, static_argnames=("allow_negative", "use_rms", "use_mask"))
+def _select_candidates(
+    residual_cube: jnp.ndarray,  # [N, H, W]
+    coef_lin: jnp.ndarray,  # [N]
+    rms_factor: jnp.ndarray,  # [H, W] (ones when unused)
+    window: jnp.ndarray,  # [H, W] bool (border window)
+    mask: jnp.ndarray,  # [H, W] bool (all-true when unused)
+    threshold: jnp.ndarray,
+    *,
+    allow_negative: bool,
+    use_rms: bool,
+    use_mask: bool,
+):
+    """Candidate-pixel mask + count in one dispatch
+    (``subminor_loop.cc:143-184`` selection semantics)."""
+    integrated = jnp.einsum("i,ihw->hw", coef_lin, residual_cube)
+    if use_rms:
+        integrated = integrated * rms_factor
+    value = jnp.abs(integrated) if allow_negative else integrated
+    selectable = (value >= threshold) & window
+    if use_mask:
+        selectable = selectable & mask
+    return selectable, value, jnp.sum(selectable)
+
+
+@partial(jax.jit, static_argnames=("cap", "use_rms", "overflow"))
+def _gather_candidates(
+    selectable: jnp.ndarray,  # [H, W] bool
+    value: jnp.ndarray,  # [H, W] comparison value
+    residual_cube: jnp.ndarray,  # [N, H, W]
+    rms_factor: jnp.ndarray,  # [H, W]
+    *,
+    cap: int,
+    use_rms: bool,
+    overflow: bool,
+):
+    """Coordinate buffer + per-candidate gathers in one dispatch."""
+    W = selectable.shape[1]
+    if overflow:
+        flat = jnp.where(selectable, value, -jnp.inf).reshape(-1)
+        _, idx = jax.lax.top_k(flat, cap)
+        idx = jnp.sort(idx)
+        valid = jnp.ones(cap, dtype=bool)
+    else:
+        idx = jnp.nonzero(selectable.reshape(-1), size=cap, fill_value=-1)[0]
+        valid = idx >= 0
+    idx_c = jnp.maximum(idx, 0)
+    xs = (idx_c % W).astype(jnp.int32)
+    ys = (idx_c // W).astype(jnp.int32)
+    residual_k = residual_cube[:, ys, xs] * valid[None, :]
+    if use_rms:
+        rms_k = rms_factor[ys, xs]
+    else:
+        rms_k = jnp.ones((cap,), dtype=jnp.float32)
+    return xs, ys, valid, residual_k, rms_k
+
+
 @partial(jax.jit, static_argnames=("padded_h", "padded_w", "n_channels"))
 def _correct_residual(
     residual_cube: jnp.ndarray,  # [N, H, W]
@@ -201,6 +258,8 @@ class SubMinorLoop:
         self._ys: Optional[jnp.ndarray] = None
         self._valid: Optional[jnp.ndarray] = None
         self._model_k: Optional[jnp.ndarray] = None
+        self._residual_k: Optional[jnp.ndarray] = None
+        self._rms_k: Optional[jnp.ndarray] = None
         self._meta: Optional[CubeMeta] = None
 
     # -- configuration mirrors (subminor_loop.h:122-172) -------------------
@@ -224,45 +283,57 @@ class SubMinorLoop:
         self, residual_cube: jnp.ndarray, meta: CubeMeta
     ) -> int:
         """Select all candidate pixels >= threshold within borders/mask
-        (``subminor_loop.cc:143-184``).  Returns the number selected."""
+        (``subminor_loop.cc:143-184``).  Returns the number selected.
+
+        Two device dispatches total: (mask + count) then, once the host has
+        picked the capacity bucket, (coordinates + gathers).  The gathered
+        ``[N, K]`` candidate state is stored on ``self`` for :meth:`run`.
+        """
+        use_rms = self.rms_factor_image is not None
+        use_mask = self.mask is not None
         coef = jnp.asarray(linear_integration_coefficients(meta))
-        integrated = jnp.einsum("i,ihw->hw", coef, residual_cube)
-        if self.rms_factor_image is not None:
-            integrated = integrated * self.rms_factor_image
-        value = (
-            jnp.abs(integrated) if self.allow_negative_components else integrated
-        )
-        win = window_mask(
-            self.height,
-            self.width,
-            self.horizontal_border,
-            self.vertical_border,
-        )
         # The reference's border loop never clamps yiStart against start_y=0
         # (subminor_loop.cc:151-154), equivalent to the plain window.
-        selectable = (value >= self.threshold) & jnp.asarray(win)
-        if self.mask is not None:
-            selectable = selectable & jnp.asarray(self.mask)
-        count = int(jnp.sum(selectable))
+        win = jnp.asarray(
+            window_mask(
+                self.height,
+                self.width,
+                self.horizontal_border,
+                self.vertical_border,
+            )
+        )
+        ones_img = jnp.ones((self.height, self.width), jnp.float32)
+        selectable, value, count_dev = _select_candidates(
+            residual_cube,
+            coef,
+            self.rms_factor_image if use_rms else ones_img,
+            win,
+            jnp.asarray(self.mask) if use_mask else win,
+            jnp.float32(self.threshold),
+            allow_negative=self.allow_negative_components,
+            use_rms=use_rms,
+            use_mask=use_mask,
+        )
+        count = int(count_dev)
         if count == 0:
             return 0
         cap = _capacity_bucket(count, self.max_set_capacity)
-        if count > cap:
+        xs, ys, valid, residual_k, rms_k = _gather_candidates(
+            selectable,
+            value,
+            residual_cube,
+            self.rms_factor_image if use_rms else ones_img,
+            cap=cap,
+            use_rms=use_rms,
             # Overflow: keep the cap strongest candidates (the reference has
             # no cap; this fallback keeps behavior sane for absurd sets).
-            flat = jnp.where(selectable, value, -jnp.inf).reshape(-1)
-            _, idx = jax.lax.top_k(flat, cap)
-            idx = jnp.sort(idx)
-            valid = jnp.ones(cap, dtype=bool)
-        else:
-            idx = jnp.nonzero(
-                selectable.reshape(-1), size=cap, fill_value=-1
-            )[0]
-            valid = idx >= 0
-        idx_c = jnp.maximum(idx, 0)
-        self._xs = (idx_c % self.width).astype(jnp.int32)
-        self._ys = (idx_c // self.width).astype(jnp.int32)
+            overflow=count > cap,
+        )
+        self._xs = xs
+        self._ys = ys
         self._valid = valid
+        self._residual_k = residual_k
+        self._rms_k = rms_k
         return count
 
     def run(
@@ -273,20 +344,25 @@ class SubMinorLoop:
         fitter=None,
     ) -> Tuple[bool, Optional[float]]:
         """``SubMinorLoop::Run`` — returns (diverging, final_peak or None)."""
+        from .multiscale import _timed
+
         self._meta = meta
-        count = self.find_peak_positions(residual_cube, meta)
+        count = _timed(
+            "subminor:find_positions",
+            self.find_peak_positions,
+            residual_cube,
+            meta,
+        )
         if count == 0:
             return False, None
-        K = self._xs.shape[0]
-        residual_k = residual_cube[:, self._ys, self._xs] * self._valid[None, :]
+        residual_k = self._residual_k
+        rms_k = self._rms_k
         model_k = jnp.zeros_like(residual_k)
-        if self.rms_factor_image is not None:
-            rms_k = self.rms_factor_image[self._ys, self._xs]
-        else:
-            rms_k = jnp.ones((K,), dtype=jnp.float32)
         coef = jnp.asarray(linear_integration_coefficients(meta))
         fit = fitter if (fitter is not None and fitter.is_active) else None
-        res_k, mod_k, it, max_val, diverging = _subminor_while(
+        res_k, mod_k, it, max_val, diverging = _timed(
+            "subminor:while_loop",
+            _subminor_while,
             residual_k,
             model_k,
             rms_k,
@@ -309,8 +385,15 @@ class SubMinorLoop:
             width=self.width,
         )
         self._model_k = mod_k
-        self.current_iteration = int(it)
-        return bool(diverging), float(max_val)
+        # One host transfer for all three scalars (each pull costs a full
+        # round trip on remote-dispatch backends).
+        it_f, max_f, div_f = np.asarray(
+            jnp.stack(
+                [it.astype(jnp.float32), max_val, diverging.astype(jnp.float32)]
+            )
+        )
+        self.current_iteration = int(it_f)
+        return bool(div_f), float(max_f)
 
     # -- post-run ----------------------------------------------------------
     def full_model_cube(self) -> jnp.ndarray:

@@ -103,6 +103,32 @@ def sharded_clean_step(
     return residual, model, peak
 
 
+def shard_clean_inputs(
+    mesh: Mesh,
+    residual: jnp.ndarray,  # [N, H, W]
+    model: jnp.ndarray,  # [N, H, W]
+    psfs: jnp.ndarray,  # [C, H, W]
+    rms_factor: jnp.ndarray,  # [H, W]
+    mask: jnp.ndarray,  # [H, W]
+):
+    """Lay the minor-loop state out over the mesh: image planes over the
+    "chan" axis (when the plane count divides it) and image rows over "tile".
+    XLA then partitions the jitted minor loop and inserts the channel psum,
+    the argmax max-reduce, and the peak broadcast automatically — the
+    reference's four exchange patterns (SURVEY.md §2.2)."""
+    n_chan_devices = mesh.shape["chan"]
+    plane_axis = "chan" if residual.shape[0] % n_chan_devices == 0 else None
+    psf_axis = "chan" if psfs.shape[0] % n_chan_devices == 0 else None
+    plane_rows = NamedSharding(mesh, P(plane_axis, "tile", None))
+    image_rows = NamedSharding(mesh, P("tile", None))
+    residual = jax.device_put(residual, plane_rows)
+    model = jax.device_put(model, plane_rows)
+    psfs = jax.device_put(psfs, NamedSharding(mesh, P(psf_axis, None, None)))
+    rms_factor = jax.device_put(rms_factor, image_rows)
+    mask = jax.device_put(mask, image_rows)
+    return residual, model, psfs, rms_factor, mask
+
+
 def dryrun_step(n_devices: int) -> float:
     """Compile + execute one sharded clean step on tiny shapes; used by the
     driver's multi-chip dry-run."""

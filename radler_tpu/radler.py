@@ -248,6 +248,13 @@ class Radler:
         algorithm.set_spectral_fitter(
             create_spectral_fitter(settings, table), n_polarizations
         )
+        if settings.parallel.use_device_mesh:
+            from .parallel.mesh import make_mesh
+
+            algorithm.device_mesh = make_mesh(
+                settings.parallel.n_devices or None,
+                n_channels=len(table.deconvolution_groups),
+            )
         self._parallel.set_algorithm(algorithm)
 
         if settings.spectral_fitting.mode == SpectralFittingMode.FORCED_TERMS:

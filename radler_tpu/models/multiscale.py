@@ -488,6 +488,9 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
             self._run_full_component_fitter(dirty_set, model_set, psfs)
             return result
 
+        if self._fused_eligible(meta, width, height):
+            return self._execute_fused(dirty_set, model_set, psfs, result)
+
         has_hit_threshold_in_sub_loop = False
         threshold_countdown = max(8, len(self.scale_infos) * 3 // 2)
 
@@ -660,6 +663,225 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
             and not diverging
         )
         result.final_peak_value = current_biased_peak()
+        return result
+
+    # -- fused on-device path ---------------------------------------------
+    def _fused_eligible(self, meta: CubeMeta, width: int, height: int) -> bool:
+        """Use the single-program minor loop (``multiscale_fused.py``) when no
+        host-side per-outer-iteration state is requested and the precomputed
+        per-scale stacks fit comfortably in device memory."""
+        if os.environ.get("RADLER_TPU_NO_FUSED_MS"):
+            return False
+        if not self.ms_settings.fast_sub_minor_loop:
+            return False
+        if (
+            self.track_per_scale_masks
+            or self.use_per_scale_masks
+            or self.track_components
+        ):
+            return False
+        if not self.scale_infos:
+            return False
+        S = len(self.scale_infos)
+        max_scale = max(e.scale for e in self.scale_infos)
+        ph = get_convolution_size(
+            max_scale, height, self.ms_settings.convolution_padding
+        )
+        pw = get_convolution_size(
+            max_scale, width, self.ms_settings.convolution_padding
+        )
+        N, C = meta.n_images, meta.n_channels
+        est = (
+            2 * S * C * height * width * 4  # single + twice PSF stacks
+            + S * C * ph * (pw // 2 + 1) * 8  # correction spectra
+            + S * ph * (pw // 2 + 1) * 8  # padded kernel spectra
+            + S * height * (width // 2 + 1) * 8  # image-size kernel spectra
+            + S * height * width  # search windows
+            + 6 * N * height * width * 4  # cube copies + padded PSF transient
+            + 4 * N * ph * pw * 8  # padded FFT temporaries
+        )
+        return est < 6e9
+
+    def _execute_fused(
+        self, dirty_set, model_set, psfs: jnp.ndarray, result
+    ) -> DeconvolutionResult:
+        """One fully on-device major iteration (see ``multiscale_fused.py``)."""
+        from .multiscale_fused import fused_multiscale_minor_loop
+        from .generic_clean import GenericClean, _choose_block_rows
+        from ..ops.convolution import _centered_kernel_fft, untrim
+
+        meta: CubeMeta = dirty_set.meta
+        width, height = dirty_set.width, dirty_set.height
+        S = len(self.scale_infos)
+
+        # PSF banks; the integrated-PSF pass sets psf_peak/bias/gain
+        # (multiscale_algorithm.cc:29-88), exactly as in the host path.
+        integrated_psf = get_integrated_psf(psfs, meta)
+        convolved = [self._convolve_psfs(integrated_psf, True)]
+        if meta.n_channels > 1:
+            convolved = [
+                self._convolve_psfs(psfs[c], False)
+                for c in range(meta.n_channels)
+            ]
+
+        max_scale = max(e.scale for e in self.scale_infos)
+        ph = get_convolution_size(
+            max_scale, height, self.ms_settings.convolution_padding
+        )
+        pw = get_convolution_size(
+            max_scale, width, self.ms_settings.convolution_padding
+        )
+
+        # [S, C, H, W] single- and twice-convolved PSF stacks.
+        single = jnp.stack(
+            [
+                jnp.stack(
+                    [
+                        convolved[min(c, len(convolved) - 1)][s]
+                        for c in range(meta.n_channels)
+                    ]
+                )
+                for s in range(S)
+            ]
+        )
+        twice = jnp.stack(
+            [
+                self._scale_convolve(single[s], self.scale_infos[s].scale)
+                for s in range(S)
+            ]
+        )
+        # Correction spectra at the unified padded size (the centered-kernel
+        # convention of ops/convolution.padded_convolve).
+        corr_f = jnp.stack(
+            [
+                jax.lax.map(
+                    lambda p: _centered_kernel_fft(p, (ph, pw)),
+                    untrim(single[s], ph, pw),
+                )
+                for s in range(S)
+            ]
+        )
+        # Scale-kernel spectra: image size (maxima bank + residual convolve)
+        # and padded size (model add-back); scale 0 = delta = flat spectrum.
+        kf_rows = []
+        kpf_rows = []
+        for e in self.scale_infos:
+            if e.scale == 0.0:
+                kf_rows.append(
+                    jnp.ones((height, width // 2 + 1), jnp.complex64)
+                )
+                kpf_rows.append(jnp.ones((ph, pw // 2 + 1), jnp.complex64))
+            else:
+                kf_rows.append(self._kernel_fft(e.scale, height, width))
+                kpf_rows.append(
+                    _centered_kernel_fft(
+                        jnp.asarray(
+                            embedded_kernel(
+                                e.scale, ph, pw, self.ms_settings.shape
+                            )
+                        ),
+                        (ph, pw),
+                    )
+                )
+        kernel_f = jnp.stack(kf_rows)
+        kernel_pad_f = jnp.stack(kpf_rows)
+
+        valid_stack = self._scale_valid_stack(height, width)
+        use_rms = self.rms_factor_image is not None
+        rms_factor = (
+            self.rms_factor_image
+            if use_rms
+            else jnp.ones((height, width), jnp.float32)
+        )
+        bias = jnp.asarray(
+            [e.bias_factor for e in self.scale_infos], jnp.float32
+        )
+        gain_arr = jnp.asarray(
+            [e.gain for e in self.scale_infos], jnp.float32
+        )
+        fitter = (
+            self.spectral_fitter
+            if (
+                self.spectral_fitter is not None
+                and self.spectral_fitter.is_active
+            )
+            else None
+        )
+        use_pallas = GenericClean._use_pallas_loop(height, width)
+        block_rows = _choose_block_rows(height, width, meta.n_images)
+
+        out = fused_multiscale_minor_loop(
+            dirty_set.data,
+            model_set.data,
+            kernel_f,
+            twice,
+            corr_f,
+            kernel_pad_f,
+            valid_stack,
+            rms_factor,
+            bias,
+            gain_arr,
+            jnp.float32(self.threshold),
+            jnp.float32(self.major_iteration_threshold),
+            jnp.float32(self.major_loop_gain),
+            jnp.float32(self.ms_settings.sub_minor_loop_gain),
+            jnp.float32(self.minor_loop_gain),
+            jnp.float32(self.divergence_limit),
+            jnp.int32(self.iteration_number),
+            jnp.int32(self.max_iterations),
+            jnp.int32(max(8, S * 3 // 2)),
+            meta=meta,
+            allow_negative=self.allow_negative_components,
+            stop_on_negative=self.stop_on_negative_components,
+            fitter=fitter,
+            use_rms=use_rms,
+            use_pallas=use_pallas,
+            block_rows=block_rows,
+            padded_h=ph,
+            padded_w=pw,
+        )
+        dirty_set.data = out.residual
+        model_set.data = out.model
+        (it, peak, any_found, diverging, no_components, is_final, ncomp) = (
+            jax.device_get(
+                (
+                    out.iteration_number,
+                    out.final_biased_peak,
+                    out.any_peak_found,
+                    out.diverging,
+                    out.no_components,
+                    out.is_final_threshold,
+                    out.components_per_scale,
+                )
+            )
+        )
+        self.iteration_number = int(it)
+        for i, e in enumerate(self.scale_infos):
+            e.n_components_cleaned += int(ncomp[i])
+        result.final_peak_value = float(peak)
+        if not bool(any_found):
+            log.warn("No peak found during multi-scale cleaning! Aborting.")
+            result.another_iteration_required = False
+            return result
+        # Stop-reason reporting (multiscale_algorithm.cc:545-575); a subminor
+        # pass that cleaned nothing breaks the loop like the host path's
+        # error break (multiscale_algorithm.cc:417-424).
+        max_iter_reached = self.iteration_number >= self.max_iterations
+        negative_reached = (
+            self.stop_on_negative_components and float(peak) < 0.0
+        )
+        result.is_diverging = bool(diverging)
+        result.another_iteration_required = (
+            not max_iter_reached
+            and not bool(is_final)
+            and not negative_reached
+            and not bool(diverging)
+        )
+        if bool(no_components):
+            log.error(
+                "Could not continue multi-scale clean, because the sub-minor "
+                "loop failed to find components."
+            )
         return result
 
     # -- fast (subminor) path -------------------------------------------

@@ -316,8 +316,9 @@ class Radler:
 
         integrated = residual_set.get_linear_integrated()
         median, stddev = median_and_stddev_from_mad(integrated)
-        median = float(median)
-        stddev = float(stddev)
+        # One batched host transfer (each pull is a round trip on
+        # remote-dispatch backends).
+        median, stddev = np.asarray(jnp.stack([median, stddev])).tolist()
         log.info(
             f"Estimated standard deviation of background noise: {stddev:.4g} Jy"
         )

@@ -182,10 +182,12 @@ def _scale_maxima_jit(
     call costs one forward FFT plus one inverse FFT per scale."""
     h, w = integrated.shape
     if bank_f.shape[0]:
-        img_f = jnp.fft.rfft2(integrated)
-        conv = jax.lax.map(
-            lambda kf: jnp.fft.irfft2(img_f * kf, s=(h, w)), bank_f
-        ).astype(integrated.dtype)
+        from ..ops.convolution import forward_fft2, inverse_fft2_real
+
+        img_f = forward_fft2(integrated)
+        conv = inverse_fft2_real(img_f[None] * bank_f, (h, w)).astype(
+            integrated.dtype
+        )
         sources = jnp.concatenate([integrated[None], conv])
     else:
         sources = integrated[None]
@@ -693,9 +695,9 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
         N, C = meta.n_images, meta.n_channels
         est = (
             2 * S * C * height * width * 4  # single + twice PSF stacks
-            + S * C * ph * (pw // 2 + 1) * 8  # correction spectra
-            + S * ph * (pw // 2 + 1) * 8  # padded kernel spectra
-            + S * height * (width // 2 + 1) * 8  # image-size kernel spectra
+            + S * C * ph * pw * 8  # correction spectra (full, matmul backend)
+            + S * ph * pw * 8  # padded kernel spectra
+            + S * height * width * 8  # image-size kernel spectra
             + S * height * width  # search windows
             + 6 * N * height * width * 4  # cube copies + padded PSF transient
             + 4 * N * ph * pw * 8  # padded FFT temporaries
@@ -708,7 +710,11 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
         """One fully on-device major iteration (see ``multiscale_fused.py``)."""
         from .multiscale_fused import fused_multiscale_minor_loop
         from .generic_clean import GenericClean, _choose_block_rows
-        from ..ops.convolution import _centered_kernel_fft, untrim
+        from ..ops.convolution import (
+            _centered_kernel_fft,
+            identity_spectrum,
+            untrim,
+        )
 
         meta: CubeMeta = dirty_set.meta
         width, height = dirty_set.width, dirty_set.height
@@ -754,10 +760,7 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
         # convention of ops/convolution.padded_convolve).
         corr_f = jnp.stack(
             [
-                jax.lax.map(
-                    lambda p: _centered_kernel_fft(p, (ph, pw)),
-                    untrim(single[s], ph, pw),
-                )
+                _centered_kernel_fft(untrim(single[s], ph, pw), (ph, pw))
                 for s in range(S)
             ]
         )
@@ -767,10 +770,8 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
         kpf_rows = []
         for e in self.scale_infos:
             if e.scale == 0.0:
-                kf_rows.append(
-                    jnp.ones((height, width // 2 + 1), jnp.complex64)
-                )
-                kpf_rows.append(jnp.ones((ph, pw // 2 + 1), jnp.complex64))
+                kf_rows.append(identity_spectrum(height, width))
+                kpf_rows.append(identity_spectrum(ph, pw))
             else:
                 kf_rows.append(self._kernel_fft(e.scale, height, width))
                 kpf_rows.append(

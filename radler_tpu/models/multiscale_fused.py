@@ -42,6 +42,7 @@ import jax
 import jax.numpy as jnp
 
 from ..image_set import CubeMeta, linear_integration_coefficients
+from ..ops.convolution import forward_fft2, inverse_fft2_real
 
 _FLT_MIN = np.float32(1.1754943508222875e-38)
 
@@ -60,14 +61,6 @@ class FusedMultiscaleResult(NamedTuple):
     flux_per_scale: jnp.ndarray  # [S] float32
 
 
-def _map_rfft2(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
-    """Plane-by-plane rfft2 (TPU's *batched* FFT loses precision at large
-    sizes — see ops/convolution.py)."""
-    return jax.lax.map(lambda img: jnp.fft.rfft2(img, s=(h, w)), x)
-
-
-def _map_irfft2(xf: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
-    return jax.lax.map(lambda f: jnp.fft.irfft2(f, s=(h, w)), xf)
 
 
 @partial(
@@ -127,10 +120,8 @@ def fused_multiscale_minor_loop(
     # ---- maxima over all scales (FindActiveScaleConvolvedMaxima) --------
     def find_maxima(res):
         integ = jnp.einsum("n,nhw->hw", lin, res)
-        int_f = jnp.fft.rfft2(integ)
-        conv = jax.lax.map(
-            lambda kf: jnp.fft.irfft2(int_f * kf, s=(H, W)), kernel_f
-        )  # [S, H, W]
+        int_f = forward_fft2(integ)
+        conv = inverse_fft2_real(int_f[None] * kernel_f, (H, W))  # [S, H, W]
         weighted = conv * rms_factor if use_rms else conv
         cmp = jnp.abs(weighted) if allow_negative else weighted
         masked = jnp.where(valid_stack, cmp, neg_inf).reshape(S, H * W)
@@ -264,9 +255,7 @@ def fused_multiscale_minor_loop(
 
         # Scale-convolved residual cube (multiscale_algorithm.cc:345-354).
         kf = jax.lax.dynamic_index_in_dim(kernel_f, s, 0, keepdims=False)
-        conv_res = jax.lax.map(
-            lambda img: jnp.fft.irfft2(jnp.fft.rfft2(img) * kf, s=(H, W)), res
-        )
+        conv_res = inverse_fft2_real(forward_fft2(res) * kf[None], (H, W))
         tp = jax.lax.dynamic_index_in_dim(twice_psfs, s, 0, keepdims=False)
         tp = jnp.take(tp, psf_idx, axis=0)  # [C,H,W] -> per-plane [N,H,W]
         psf_pad = jnp.pad(
@@ -307,12 +296,12 @@ def fused_multiscale_minor_loop(
                 (PW // 2 - W // 2, PW - W - (PW // 2 - W // 2)),
             ),
         )
-        comp_f = _map_rfft2(comp_p, PH, PW)  # [N, PH, PWf]
+        comp_f = forward_fft2(comp_p)  # [N, PH, PWf]
         cf = jax.lax.dynamic_index_in_dim(corr_f, s, 0, keepdims=False)
         cf = jnp.take(cf, psf_idx, axis=0)  # [C,...] -> per-plane [N,...]
-        corr = _map_irfft2(comp_f * cf, PH, PW)
+        corr = inverse_fft2_real(comp_f * cf, (PH, PW))
         kpf = jax.lax.dynamic_index_in_dim(kernel_pad_f, s, 0, keepdims=False)
-        madd = _map_irfft2(comp_f * kpf[None], PH, PW)
+        madd = inverse_fft2_real(comp_f * kpf[None], (PH, PW))
         top = PH // 2 - H // 2
         left = PW // 2 - W // 2
         res = res - jax.lax.dynamic_slice(

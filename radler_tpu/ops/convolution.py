@@ -14,6 +14,7 @@ zero-padded to a 7-smooth size (same policy as
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional, Tuple
 
@@ -22,6 +23,68 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.fft_size import calculate_good_fft_size
+from . import fft as mxu_fft
+
+
+def _matmul_fft_active(h: int, w: int) -> bool:
+    """Whether the MXU matmul-FFT backend (ops/fft.py) handles this shape.
+
+    XLA's native TPU FFT runs at ~22 GFLOP/s (measured); the four-step
+    matmul formulation is 40-60x faster on sizes the MXU tiles well.  Full
+    spectra ([H, W] complex) are used in that mode instead of rfft
+    half-planes; all spectrum producers/consumers in this module agree on
+    the representation via these helpers.  Opt out with
+    RADLER_TPU_NO_MXU_FFT=1 (e.g. to A/B against the native FFT).
+    """
+    if os.environ.get("RADLER_TPU_NO_MXU_FFT"):
+        return False
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        return False
+    if platform not in ("tpu", "axon") or min(h, w) < 256:
+        return False
+    # Native FFT is only competitive at large power-of-two sizes; 7-smooth
+    # padded convolution sizes (2400, 4500, ...) are where it collapses and
+    # the matmul path wins 2-3x even on a throttled MXU.
+    pow2 = (h & (h - 1)) == 0 and (w & (w - 1)) == 0
+    if pow2 and max(h, w) >= 4096:
+        return False
+    return mxu_fft.supported_size(h) and mxu_fft.supported_size(w)
+
+
+def forward_fft2(x: jnp.ndarray) -> jnp.ndarray:
+    """Forward 2-D spectrum of a real image stack [..., H, W]: full [H, W]
+    complex on the matmul backend, rfft half-plane otherwise (plane-by-plane
+    there — the native batched FFT loses precision, see convolve_same)."""
+    h, w = x.shape[-2:]
+    if _matmul_fft_active(h, w):
+        return mxu_fft.fft2(x)
+    if x.ndim == 2:
+        return jnp.fft.rfft2(x)
+    flat = x.reshape((-1, h, w))
+    out = jax.lax.map(jnp.fft.rfft2, flat)
+    return out.reshape(x.shape[:-2] + out.shape[-2:])
+
+
+def inverse_fft2_real(spec: jnp.ndarray, shape: Tuple[int, int]) -> jnp.ndarray:
+    """Real inverse of a spectrum produced by :func:`forward_fft2` (either
+    representation, distinguished by the trailing-axis length)."""
+    h, w = shape
+    if spec.shape[-1] == w:
+        return mxu_fft.ifft2_real(spec)
+    if spec.ndim == 2:
+        return jnp.fft.irfft2(spec, s=(h, w))
+    flat = spec.reshape((-1,) + spec.shape[-2:])
+    out = jax.lax.map(lambda f: jnp.fft.irfft2(f, s=(h, w)), flat)
+    return out.reshape(spec.shape[:-2] + (h, w))
+
+
+def identity_spectrum(h: int, w: int) -> jnp.ndarray:
+    """Spectrum of the centered delta kernel (= flat ones) in the active
+    representation for (h, w)."""
+    wf = w if _matmul_fft_active(h, w) else w // 2 + 1
+    return jnp.ones((h, wf), jnp.complex64)
 
 
 def untrim(image: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
@@ -49,12 +112,22 @@ def trim(image: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
 
 
 def _centered_kernel_fft(kernel: jnp.ndarray, shape: Tuple[int, int]) -> jnp.ndarray:
-    """rfft2 of the kernel re-origined so its center pixel is at (0, 0).
+    """Spectrum of the kernel re-origined so its center pixel is at (0, 0),
+    in the active representation for ``shape``.
 
     Equivalent of ``schaapcommon::math::PrepareConvolutionKernel``.
     """
     h, w = kernel.shape[-2:]
     k = jnp.roll(kernel, (-(h // 2), -(w // 2)), axis=(-2, -1))
+    if _matmul_fft_active(*shape):
+        if (h, w) != tuple(shape):
+            # Match rfft2's implicit zero-extension at the (0, 0) origin.
+            k = jnp.pad(
+                k,
+                [(0, 0)] * (k.ndim - 2)
+                + [(0, shape[0] - h), (0, shape[1] - w)],
+            )
+        return mxu_fft.fft2(k)
     return jnp.fft.rfft2(k, s=shape)
 
 
@@ -75,6 +148,12 @@ def convolve_same(image: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     assert kernel.shape[-2:] == (h, w), (
         "convolve_same requires an image-sized (embedded) kernel"
     )
+    if _matmul_fft_active(h, w):
+        # The matmul backend batches cleanly (it is matmuls, not the
+        # precision-losing native batched FFT).
+        ker_f = _centered_kernel_fft(kernel, (h, w))
+        out = mxu_fft.ifft2_real(mxu_fft.fft2(image) * ker_f)
+        return out.astype(image.dtype)
     if image.ndim == 2 and kernel.ndim == 2:
         img_f = jnp.fft.rfft2(image)
         ker_f = _centered_kernel_fft(kernel, (h, w))
@@ -103,6 +182,11 @@ def convolve_one_with_many(
     image transform once (used by the multiscale scale-peak search)."""
     h, w = image.shape
     assert kernels.shape[-2:] == (h, w)
+    if _matmul_fft_active(h, w):
+        ker_f = _centered_kernel_fft(kernels, (h, w))
+        return mxu_fft.ifft2_real(mxu_fft.fft2(image)[None] * ker_f).astype(
+            image.dtype
+        )
     img_f = jnp.fft.rfft2(image)
     ker_rolled = jnp.roll(kernels, (-(h // 2), -(w // 2)), axis=(-2, -1))
 
@@ -120,6 +204,8 @@ def prepare_kernel_fft(kernel: jnp.ndarray) -> jnp.ndarray:
     on every outer iteration."""
     h, w = kernel.shape[-2:]
     rolled = jnp.roll(kernel, (-(h // 2), -(w // 2)), axis=(-2, -1))
+    if _matmul_fft_active(h, w):
+        return mxu_fft.fft2(rolled)
     if rolled.ndim == 2:
         return jnp.fft.rfft2(rolled)
     lead = rolled.shape[:-2]
@@ -130,9 +216,13 @@ def prepare_kernel_fft(kernel: jnp.ndarray) -> jnp.ndarray:
 
 @jax.jit
 def convolve_same_prefft(image: jnp.ndarray, ker_f: jnp.ndarray) -> jnp.ndarray:
-    """Centered circular convolution with a pre-transformed kernel
-    (one shared [H, W//2+1] spectrum applied to every leading plane)."""
+    """Centered circular convolution with a pre-transformed kernel spectrum
+    (either representation, shared across every leading plane)."""
     h, w = image.shape[-2:]
+    if ker_f.shape[-1] == w:  # full-spectrum (matmul backend)
+        return mxu_fft.ifft2_real(mxu_fft.fft2(image) * ker_f).astype(
+            image.dtype
+        )
     if image.ndim == 2:
         return jnp.fft.irfft2(jnp.fft.rfft2(image) * ker_f, s=(h, w)).astype(
             image.dtype

@@ -437,14 +437,24 @@ class ImageSet:
 
         ``fitter`` is a :class:`radler_tpu.ops.spectral_fitting.SpectralFitter`.
         """
+        from .work_table import DeviceImageAccessor
+
         n_orig = len(self.table.original_groups)
         n_deconv = self.meta.n_channels
         if n_deconv == n_orig:
-            host = np.asarray(self.data)
-            image_index = 0
-            for entry in self.table:
-                entry.model_accessor.store(host[image_index])
-                image_index += 1
+            # Device-resident accessors receive the on-device plane (no
+            # host round trip — a full-cube pull costs seconds through a
+            # remote-dispatch tunnel); NumPy accessors share one bulk
+            # transfer, like assign_and_store_residual.
+            host = None
+            for image_index, entry in enumerate(self.table):
+                accessor = entry.model_accessor
+                if isinstance(accessor, DeviceImageAccessor):
+                    accessor.store(self.data[image_index])
+                else:
+                    if host is None:
+                        host = np.asarray(self.data)
+                    accessor.store(host[image_index])
             return
 
         first_group = self.table.original_groups[0]
@@ -460,7 +470,11 @@ class ImageSet:
             terms = fitter.fit_image(spectra)  # [n_terms, H, W]
             for entry in self.table.get_original_same_polarization_group(pol):
                 out = fitter.evaluate_image(terms, entry.central_frequency)
-                entry.model_accessor.store(np.asarray(out))
+                accessor = entry.model_accessor
+                if isinstance(accessor, DeviceImageAccessor):
+                    accessor.store(out)
+                else:
+                    accessor.store(np.asarray(out))
 
     # -- facet helpers (used by the parallel layer) ------------------------
     def trim(self, x1: int, y1: int, x2: int, y2: int) -> "ImageSet":

@@ -149,7 +149,9 @@ class _IuwtEngine:
             jnp.asarray(window),
             jnp.int32(min_scale),
         )
-        return mask, int(count)
+        # The count is informational; pulling it eagerly costs a round trip
+        # per structure iteration.
+        return mask, count
 
     # -- conjugate gradient -----------------------------------------------
     def _run_conjugate_gradient(
@@ -170,10 +172,13 @@ class _IuwtEngine:
         model, success, snr = iuwt_ops.conjugate_gradient(
             coeffs, mask, masked_dirty, psf_kernel_image, n_scales
         )
-        if not bool(success):
-            log.debug(f"CG failed to converge (SNR={float(snr)}).")
+        succ_f, snr_f = np.asarray(
+            jnp.stack([success.astype(jnp.float32), snr])
+        ).tolist()
+        if not bool(succ_f):
+            log.debug(f"CG failed to converge (SNR={snr_f}).")
             return None, False
-        log.debug(f"CG solve finished (SNR={float(snr)}).")
+        log.debug(f"CG solve finished (SNR={snr_f}).")
         return model, True
 
     # -- bounding boxes ----------------------------------------------------
@@ -249,16 +254,28 @@ class _IuwtEngine:
         coeffs = iuwt_ops.decompose(dirty, cur_end_scale)
         from ..ops.noise import mad_sigma_batched
 
-        self.rmses = np.asarray(mad_sigma_batched(coeffs[:cur_end_scale]))
-        thresholds = self.rmses * (self.threshold_sigma_level * 4.0 / 5.0)
-
         max_components.clear()
-        vals, xs, ys = iuwt_ops.scale_peak_stats(
+        vals_d, xs_d, ys_d = iuwt_ops.scale_peak_stats(
             coeffs[:cur_end_scale],
             self._search_window(width, height),
             self.allow_negative,
         )
-        vals, xs, ys = np.asarray(vals), np.asarray(xs), np.asarray(ys)
+        # One host transfer for all per-scale scalars (each separate pull is
+        # a ~50 ms round trip on remote-dispatch backends).
+        stats = np.asarray(
+            jnp.stack(
+                [
+                    mad_sigma_batched(coeffs[:cur_end_scale]),
+                    vals_d,
+                    xs_d.astype(jnp.float32),
+                    ys_d.astype(jnp.float32),
+                ]
+            )
+        )
+        self.rmses, vals = stats[0], stats[1]
+        xs = stats[2].astype(np.int32)
+        ys = stats[3].astype(np.int32)
+        thresholds = self.rmses * (self.threshold_sigma_level * 4.0 / 5.0)
         for scale in range(cur_end_scale):
             max_components.append(
                 {
@@ -360,18 +377,22 @@ class _IuwtEngine:
             width,
             height,
         )
-        log.debug(
-            f"Flood-filled area contains {area_size} significant components."
-        )
-        masked_scales = iuwt_ops.apply_mask(coeffs, mask)
-        recomposed = iuwt_ops.recompose(masked_scales, cur_end_scale, False)
-
-        x1, y1, x2, y2 = (
-            int(v) for v in np.asarray(iuwt_ops.bounding_box(recomposed))
-        )
-        x1, y1, x2, y2 = self._adjust_box(
-            x1, y1, x2, y2, width, height, max_comp[2] + 1
-        )
+        if log.is_enabled("debug"):
+            log.debug(
+                f"Flood-filled area contains {int(area_size)} significant "
+                "components."
+            )
+        if allow_trimming:
+            masked_scales = iuwt_ops.apply_mask(coeffs, mask)
+            recomposed = iuwt_ops.recompose(masked_scales, cur_end_scale, False)
+            x1, y1, x2, y2 = (
+                int(v) for v in np.asarray(iuwt_ops.bounding_box(recomposed))
+            )
+            x1, y1, x2, y2 = self._adjust_box(
+                x1, y1, x2, y2, width, height, max_comp[2] + 1
+            )
+        else:
+            x1, y1, x2, y2 = 0, 0, width, height
         if allow_trimming and ((x2 - x1) < width or (y2 - y1) < height):
             self.box = (x1, y1, x2, y2)
             new_width, new_height = x2 - x1, y2 - y1
@@ -436,11 +457,15 @@ class _IuwtEngine:
         if not success:
             return False, structure_model_full
 
-        rms_before = float(rms_op(dirty))
         conv_model = convolve_same(structure_model, psf)
-        rms_after = float(
-            rms_op(dirty - self.minor_loop_gain * conv_model)
-        )
+        rms_before, rms_after = np.asarray(
+            jnp.stack(
+                [
+                    rms_op(dirty),
+                    rms_op(dirty - self.minor_loop_gain * conv_model),
+                ]
+            )
+        ).tolist()
         if rms_after > rms_before:
             log.debug(f"RMS got worse: {rms_before} -> {rms_after}")
             return False, structure_model_full

@@ -18,6 +18,12 @@ def _threshold() -> int:
     return _LEVELS.get(os.environ.get("RADLER_TPU_LOG", "warn").lower(), 30)
 
 
+def is_enabled(level: str) -> bool:
+    """Whether messages at ``level`` are emitted — lets callers skip
+    building expensive log arguments (e.g. device scalar pulls)."""
+    return _threshold() <= _LEVELS.get(level, 30)
+
+
 def debug(msg: str) -> None:
     if _threshold() <= 10:
         print(f"[radler-tpu debug] {msg}", file=sys.stderr)

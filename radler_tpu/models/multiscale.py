@@ -904,6 +904,27 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
     ):
         """``multiscale_algorithm.cc:377-461``.  Returns diverging flag, or
         ``None`` when the subminor loop found no components."""
+        if height * width <= 4096 * 4096 and not os.environ.get(
+            "RADLER_TPU_NO_DENSE_SUBMINOR"
+        ):
+            # The dense masked clean beats the sparse candidate set on TPU
+            # (no K-gather, no per-capacity-bucket recompiles) and matches
+            # it to fp tolerance; see multiscale_fused.py's module docstring.
+            return self._run_fast_sub_loop_dense(
+                dirty_set,
+                model_set,
+                meta,
+                convolved_psfs,
+                twice_convolved_psfs,
+                individual_convolved,
+                scale_with_peak,
+                first_sub_threshold,
+                sub_gain_threshold,
+                initial_peak_value,
+                width,
+                height,
+                single_convolved_cache,
+            )
         entry = self.scale_infos[scale_with_peak]
         sub_start_iteration = self.iteration_number
         conv_w = get_convolution_size(
@@ -994,6 +1015,161 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
         model_add = _timed(
             "model_add_convolve", self._scale_convolve, full_model, entry.scale
         )
+        model_set.data = model_set.data + model_add
+        return diverging
+
+    def _run_fast_sub_loop_dense(
+        self,
+        dirty_set,
+        model_set,
+        meta: CubeMeta,
+        convolved_psfs,
+        twice_convolved_psfs,  # [C, H, W]
+        individual_convolved,  # [N, H, W]
+        scale_with_peak: int,
+        first_sub_threshold: float,
+        sub_gain_threshold: float,
+        initial_peak_value: float,
+        width: int,
+        height: int,
+        single_convolved_cache,
+    ):
+        """Dense-kernel variant of :meth:`_run_fast_sub_loop` (same contract).
+
+        The Clark candidate set becomes a dense masked clean over the
+        scale-convolved cube; auto-mask and component tracking read the
+        resulting component image instead of a sparse coordinate buffer.
+        """
+        from .multiscale_fused import dense_subminor_loop
+        from .subminor import _correct_residual
+        from .generic_clean import GenericClean, _choose_block_rows
+
+        entry = self.scale_infos[scale_with_peak]
+        sub_start_iteration = self.iteration_number
+        conv_w = get_convolution_size(
+            entry.scale, width, self.ms_settings.convolution_padding
+        )
+        conv_h = get_convolution_size(
+            entry.scale, height, self.ms_settings.convolution_padding
+        )
+        # Search weight: scale border window x (per-scale or clean mask) x
+        # rms factor — identical to the sparse path's selection inputs.
+        scale_border = int(math.ceil(entry.scale * 0.5))
+        hb = max(int(round(width * self.clean_border_ratio)), scale_border)
+        vb = max(int(round(height * self.clean_border_ratio)), scale_border)
+        weight = jnp.asarray(window_mask(height, width, hb, vb), jnp.float32)
+        if self.use_per_scale_masks and self.scale_masks:
+            weight = weight * jnp.asarray(
+                self.scale_masks[scale_with_peak], jnp.float32
+            )
+        elif self.clean_mask is not None:
+            weight = weight * jnp.asarray(self.clean_mask, jnp.float32)
+        use_rms = self.rms_factor_image is not None
+        rms = (
+            self.rms_factor_image
+            if use_rms
+            else jnp.ones((height, width), jnp.float32)
+        )
+        if use_rms:
+            weight = weight * rms
+
+        per_plane_psfs = twice_convolved_psfs[jnp.asarray(meta.psf_indices)]
+        psf_pad = jnp.pad(
+            per_plane_psfs,
+            (
+                (0, 0),
+                (height - height // 2, height // 2 + 8),
+                (width - width // 2, width // 2 + 128),
+            ),
+        )
+        fitter = (
+            self.spectral_fitter
+            if (
+                self.spectral_fitter is not None
+                and self.spectral_fitter.is_active
+            )
+            else None
+        )
+        use_pallas = GenericClean._use_pallas_loop(height, width)
+        _conv_res, comp, it_d, value_d, found_d, div_d = dense_subminor_loop(
+            individual_convolved,
+            psf_pad,
+            weight,
+            rms,
+            jnp.float32(first_sub_threshold / entry.bias_factor),
+            jnp.float32(entry.gain),
+            jnp.int32(self.iteration_number),
+            jnp.int32(self.max_iterations),
+            jnp.float32(self.divergence_limit),
+            jnp.float32(entry.max_unnormalized_image_value),
+            jnp.int32(entry.max_image_value_x),
+            jnp.int32(entry.max_image_value_y),
+            jnp.asarray(True),
+            meta=meta,
+            allow_negative=self.allow_negative_components,
+            stop_on_negative=self.stop_on_negative_components,
+            fitter=fitter,
+            use_rms=use_rms,
+            use_pallas=use_pallas,
+            block_rows=_choose_block_rows(height, width, meta.n_images),
+        )
+        it_f, val_f, _found_f, div_f = np.asarray(
+            jnp.stack(
+                [
+                    it_d.astype(jnp.float32),
+                    value_d,
+                    found_d.astype(jnp.float32),
+                    div_d.astype(jnp.float32),
+                ]
+            )
+        ).tolist()
+        self.iteration_number = int(it_f)
+        if self.iteration_number == sub_start_iteration:
+            log.error(
+                "Could not continue multi-scale clean, because the sub-minor "
+                "loop failed to find components."
+            )
+            return None
+        diverging = bool(div_f)
+        if self.divergence_limit != 0.0:
+            diverging = diverging or (
+                abs(val_f) > initial_peak_value * self.divergence_limit
+            )
+        entry.n_components_cleaned += (
+            self.iteration_number - sub_start_iteration
+        )
+
+        # Residual correction + model add-back, as in the sparse path
+        # (multiscale_algorithm.cc:432-461).
+        if scale_with_peak not in single_convolved_cache:
+            single_convolved_cache[scale_with_peak] = jnp.stack(
+                [
+                    convolved_psfs[min(c, len(convolved_psfs) - 1)][
+                        scale_with_peak
+                    ]
+                    for c in range(meta.n_channels)
+                ]
+            )
+        single_psfs = single_convolved_cache[scale_with_peak]
+        dirty_set.data = _correct_residual(
+            dirty_set.data, comp, single_psfs, conv_h, conv_w, meta.n_channels
+        )
+        if self.track_per_scale_masks or self.track_components:
+            nonzero = np.asarray(jnp.any(comp != 0.0, axis=0))
+            if self.track_per_scale_masks:
+                self.scale_masks[scale_with_peak] |= nonzero
+            if self.track_components:
+                ys, xs = np.nonzero(nonzero)
+                if xs.size:
+                    values = np.asarray(
+                        comp[:, jnp.asarray(ys), jnp.asarray(xs)]
+                    )
+                    for j in range(xs.size):
+                        self._component_list.add(
+                            int(xs[j]), int(ys[j]), scale_with_peak,
+                            values[:, j],
+                        )
+        model_add = self._scale_convolve(comp, entry.scale)
         model_set.data = model_set.data + model_add
         return diverging
 

@@ -73,6 +73,130 @@ class FusedMultiscaleResult(NamedTuple):
         "use_rms",
         "use_pallas",
         "block_rows",
+    ),
+)
+def dense_subminor_loop(
+    conv_res: jnp.ndarray,  # [N, H, W] scale-convolved residual cube
+    psf_pad: jnp.ndarray,  # [N, 2H+8, 2W+128] padded twice-convolved PSFs
+    weight: jnp.ndarray,  # [H, W] window x mask x rms weight
+    rms_factor: jnp.ndarray,  # [H, W] (ones when unused)
+    threshold: jnp.ndarray,
+    gain: jnp.ndarray,
+    start_iteration: jnp.ndarray,
+    max_iterations: jnp.ndarray,
+    divergence_limit: jnp.ndarray,
+    value0: jnp.ndarray,
+    x0: jnp.ndarray,
+    y0: jnp.ndarray,
+    found0: jnp.ndarray,
+    *,
+    meta: CubeMeta,
+    allow_negative: bool,
+    stop_on_negative: bool,
+    fitter,
+    use_rms: bool,
+    use_pallas: bool,
+    block_rows: int,
+):
+    """Standalone dense Clark subminor pass at a fixed scale.
+
+    Host-orchestrated twin of the inner loop of
+    :func:`fused_multiscale_minor_loop` (same semantics as the sparse
+    :class:`~radler_tpu.models.subminor.SubMinorLoop`, see the module
+    docstring): used by the multiscale host path when per-scale masks or
+    component tracking require per-outer-iteration host state.  Returns
+    ``(conv_res, component_image, iteration, value, found, diverging)``.
+    """
+    N, H, W = conv_res.shape
+    lin_np = linear_integration_coefficients(meta)
+    lin = jnp.asarray(lin_np)
+    lin_t = tuple(float(v) for v in lin_np)
+    start_abs = jnp.abs(value0)
+
+    def cond(st):
+        _res, _comp, it, value, x, y, found, div = st
+        ok = found & (jnp.abs(value) > threshold) & (it < max_iterations)
+        if stop_on_negative:
+            ok &= value >= 0.0
+        return ok & ~div
+
+    def body(st):
+        res, comp, it, value, x, y, found, _ = st
+        peak_values = res[:, y, x]
+        if fitter is not None:
+            v = peak_values.reshape(meta.n_channels, meta.n_polarizations)
+            peak_values = fitter.fit_and_evaluate(v, x, y).reshape(-1)
+        peak_values = peak_values * gain
+        comp = comp.at[:, y, x].add(peak_values)
+        if use_pallas:
+            from ..ops.pallas.hogbom_step import fused_clean_step
+
+            res, peak_index, peak_cmp = fused_clean_step(
+                res,
+                psf_pad,
+                peak_values,
+                weight,
+                y,
+                x,
+                block_rows=block_rows,
+                allow_negative=allow_negative,
+                integration_mode="linear",
+                chan_coefs=lin_t,
+                pol_coefs=(1.0,),
+                use_weight=True,
+            )
+            ny = (peak_index // W).astype(jnp.int32)
+            nx = (peak_index % W).astype(jnp.int32)
+            nfound = peak_cmp > _FLT_MIN
+        else:
+            shifted = jax.lax.dynamic_slice(
+                psf_pad, (0, H - y, W - x), (N, H, W)
+            )
+            res = res - shifted * peak_values[:, None, None]
+            integ = jnp.einsum("n,nhw->hw", lin, res)
+            wgt = integ * weight
+            cmp = jnp.abs(wgt) if allow_negative else wgt
+            flat_idx = jnp.argmax(cmp.reshape(-1))
+            peak_cmp = cmp.reshape(-1)[flat_idx]
+            nfound = peak_cmp > _FLT_MIN
+            nx = (flat_idx % W).astype(jnp.int32)
+            ny = (flat_idx // W).astype(jnp.int32)
+        nvalue = jnp.einsum("n,n->", lin, res[:, ny, nx])
+        if use_rms:
+            nvalue = nvalue * rms_factor[ny, nx]
+        div = jnp.where(
+            divergence_limit != 0.0,
+            nfound & (jnp.abs(nvalue) > start_abs * divergence_limit),
+            False,
+        )
+        return res, comp, it + 1, nvalue, nx, ny, nfound, div
+
+    init = (
+        conv_res,
+        jnp.zeros_like(conv_res),
+        start_iteration,
+        value0,
+        x0,
+        y0,
+        found0,
+        jnp.asarray(False),
+    )
+    res, comp, it, value, x, y, found, div = jax.lax.while_loop(
+        cond, body, init
+    )
+    return res, comp, it, value, found, div
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "meta",
+        "allow_negative",
+        "stop_on_negative",
+        "fitter",
+        "use_rms",
+        "use_pallas",
+        "block_rows",
         "padded_h",
         "padded_w",
     ),

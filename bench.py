@@ -109,8 +109,10 @@ def run_radler_tpu(psf, residual, n_iter: int, engine: str):
         return r.iteration_number, dt
 
     one_run()  # warm-up/compile at identical shapes
-    iters, dt = one_run()
-    return iters, dt
+    # Best-of-3: host/tunnel load on this shared machine adds hundreds of
+    # microseconds per iteration of noise; the minimum isolates capability.
+    best = min((one_run() for _ in range(3)), key=lambda r: r[1] / max(r[0], 1))
+    return best
 
 
 def make_diffuse_problem(size: int, n_channels: int, seed: int = 5):
@@ -210,19 +212,26 @@ def run_iuwt(size: int, n_iter: int):
 
 def run_numpy_baseline(psf, residual, n_iter: int, gain: float = 0.1):
     """Single-host NumPy Högbom core: argmax + PSF-patch subtract."""
-    res = residual.copy()
-    size = res.shape[0]
+    size = residual.shape[0]
     half = size // 2
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        idx = np.abs(res).argmax()
-        y, x = divmod(idx, size)
-        v = res[y, x] * gain
-        y0, y1 = max(0, y - half), min(size, y + half)
-        x0, x1 = max(0, x - half), min(size, x + half)
-        py0, px0 = y0 - (y - half), x0 - (x - half)
-        res[y0:y1, x0:x1] -= v * psf[py0 : py0 + (y1 - y0), px0 : px0 + (x1 - x0)]
-    dt = time.perf_counter() - t0
+
+    def one_run():
+        res = residual.copy()
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            idx = np.abs(res).argmax()
+            y, x = divmod(idx, size)
+            v = res[y, x] * gain
+            y0, y1 = max(0, y - half), min(size, y + half)
+            x0, x1 = max(0, x - half), min(size, x + half)
+            py0, px0 = y0 - (y - half), x0 - (x - half)
+            res[y0:y1, x0:x1] -= (
+                v * psf[py0 : py0 + (y1 - y0), px0 : px0 + (x1 - x0)]
+            )
+        return time.perf_counter() - t0
+
+    # Best-of-3, symmetric with the TPU measurement (shared-host noise).
+    dt = min(one_run() for _ in range(3))
     return n_iter, dt
 
 

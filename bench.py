@@ -72,16 +72,20 @@ def _crop_center(img, n):
     return img[top : top + n, left : left + n]
 
 
-def run_radler_tpu(psf, residual, n_iter: int, engine: str):
+def _enable_compilation_cache():
+    """Persistent compilation cache: repeated bench runs skip the (remote)
+    TPU compiles entirely."""
     import jax
 
-    # Persistent compilation cache: repeated bench runs skip the (remote)
-    # TPU compiles entirely.
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass
+
+
+def run_radler_tpu(psf, residual, n_iter: int, engine: str):
+    import jax
     import jax.numpy as jnp
     import radler_tpu as rd
 
@@ -248,6 +252,7 @@ def main():
     )
     parser.add_argument("--channels", type=int, default=8)
     args = parser.parse_args()
+    _enable_compilation_cache()
 
     if args.engine in ("multiscale", "iuwt"):
         if args.engine == "multiscale":

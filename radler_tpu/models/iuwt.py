@@ -20,17 +20,44 @@ labeling, done host-side with ``scipy.ndimage`` on bitmasks.
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..ops import iuwt as iuwt_ops
-from ..ops.convolution import convolve_same, trim
-from ..ops.noise import rms as rms_op
+from ..ops.convolution import convolve_same
 from ..image_set import get_linear_integrated, get_integrated_psf
 from ..utils import logging as log
 from .base import DeconvolutionAlgorithm, DeconvolutionResult
+
+_linear_integrated = jax.jit(get_linear_integrated, static_argnums=1)
+_integrated_psf = jax.jit(get_integrated_psf, static_argnums=1)
+
+
+@partial(jax.jit, static_argnames=("meta",))
+def _apply_structure_update(
+    model_data, dirty_data, structure, psfs, gain, meta
+):
+    """Accepted-structure update (``iuwt_deconvolution_algorithm.cc:862-877``)
+    in one dispatch: model += gain*structure; dirty -= (gain*structure) ⊛ psf
+    per channel; return the re-integrated dirty."""
+    structure_scaled = structure * gain
+    model_data = model_data + structure_scaled
+    n, height, width = dirty_data.shape
+    c = meta.n_channels
+    p = meta.n_polarizations
+    conv = convolve_same(
+        structure_scaled.reshape(c, p, height, width), psfs[:, None, :, :]
+    )
+    dirty_data = dirty_data - conv.reshape(n, height, width)
+    return (
+        model_data,
+        dirty_data,
+        get_linear_integrated(dirty_data, meta),
+    )
 
 try:
     from scipy import ndimage as _ndimage
@@ -75,18 +102,10 @@ class _IuwtEngine:
 
     # -- PSF characterization (``MeasureRMSPerScale``) -------------------
     def measure_rms_per_scale(self, psf: jnp.ndarray, end_scale: int) -> None:
-        scales = iuwt_ops.decompose(psf, end_scale)
-        self.psf_rms = np.array(
-            [float(rms_op(scales[s])) for s in range(end_scale)]
-        )
-        cy, cx = self.height // 2, self.width // 2
-        self.psf_peak_response = np.array(
-            [float(scales[s, cy, cx]) for s in range(end_scale)]
-        )
-        next_scales = iuwt_ops.decompose(scales[1], end_scale)
-        self.psf_peak_response_to_next = np.array(
-            [float(next_scales[s, cy, cx]) for s in range(end_scale)]
-        )
+        stats = np.asarray(iuwt_ops.psf_response_stats(psf, end_scale))
+        self.psf_rms = stats[0]
+        self.psf_peak_response = stats[1]
+        self.psf_peak_response_to_next = stats[2]
 
     # -- peak search ------------------------------------------------------
     def _search_window(self, width: int, height: int) -> jnp.ndarray:
@@ -107,15 +126,27 @@ class _IuwtEngine:
         self._window_cache[key] = dev
         return dev
 
-    def _get_max_abs(
-        self, data: jnp.ndarray, width: int, height: int
-    ) -> Tuple[float, int, int]:
-        """``GetMaxAbs{With,Without}Mask``
-        (``iuwt_deconvolution_algorithm.cc:112-167``)."""
-        vals, xs, ys = iuwt_ops.scale_peak_stats(
-            data[None], self._search_window(width, height), self.allow_negative
-        )
-        return float(vals[0]), int(xs[0]), int(ys[0])
+    def _select_window(
+        self, prior_mask, width: int, height: int
+    ) -> jnp.ndarray:
+        """Border + prior-mask window for structure selection, cached on
+        device per (shape, current box) so repeated structure iterations do
+        not re-upload a full-size bool image every time."""
+        key = ("sel", width, height, self.box, prior_mask is None)
+        cached = self._window_cache.get(key)
+        if cached is not None:
+            return cached
+        x_border = int(self.clean_border * width)
+        y_border = int(self.clean_border * height)
+        window = np.zeros((height, width), dtype=bool)
+        window[
+            y_border : height - y_border, x_border : width - x_border
+        ] = True
+        if prior_mask is not None:
+            window = window & np.asarray(prior_mask)
+        dev = jnp.asarray(window)
+        self._window_cache[key] = dev
+        return dev
 
     # -- structure selection ---------------------------------------------
     def _select_structures(
@@ -135,18 +166,11 @@ class _IuwtEngine:
         threshold-exceedance set; no sequential walk is needed, and the whole
         selection stays on-device (one count scalar comes back).
         """
-        x_border = int(self.clean_border * width)
-        y_border = int(self.clean_border * height)
-        window = np.zeros((height, width), dtype=bool)
-        window[
-            y_border : height - y_border, x_border : width - x_border
-        ] = True
-        if prior_mask is not None:
-            window = window & prior_mask
+        window = self._select_window(prior_mask, width, height)
         mask, count = iuwt_ops.select_structures(
             coeffs,
             jnp.asarray(thresholds[:end_scale], jnp.float32),
-            jnp.asarray(window),
+            window,
             jnp.int32(min_scale),
         )
         # The count is informational; pulling it eagerly costs a round trip
@@ -169,12 +193,10 @@ class _IuwtEngine:
         model under the masked-IUWT-of-convolution operator.  The whole
         20-iteration solve runs as one compiled device dispatch
         (:func:`radler_tpu.ops.iuwt.conjugate_gradient`)."""
-        model, success, snr = iuwt_ops.conjugate_gradient(
+        model, status = iuwt_ops.conjugate_gradient(
             coeffs, mask, masked_dirty, psf_kernel_image, n_scales
         )
-        succ_f, snr_f = np.asarray(
-            jnp.stack([success.astype(jnp.float32), snr])
-        ).tolist()
+        succ_f, snr_f = np.asarray(status).tolist()
         if not bool(succ_f):
             log.debug(f"CG failed to converge (SNR={snr_f}).")
             return None, False
@@ -251,27 +273,17 @@ class _IuwtEngine:
         """``FindAndDeconvolveStructure``
         (``iuwt_deconvolution_algorithm.cc:414-498``)."""
         width, height = self.width, self.height
-        coeffs = iuwt_ops.decompose(dirty, cur_end_scale)
-        from ..ops.noise import mad_sigma_batched
-
         max_components.clear()
-        vals_d, xs_d, ys_d = iuwt_ops.scale_peak_stats(
-            coeffs[:cur_end_scale],
+        # Decompose + per-scale stats in ONE dispatch and ONE host transfer
+        # (each separate eager op on a remote-dispatch backend costs a
+        # ~40 ms round trip).
+        coeffs, stats_dev = iuwt_ops.structure_stats(
+            dirty,
             self._search_window(width, height),
+            cur_end_scale,
             self.allow_negative,
         )
-        # One host transfer for all per-scale scalars (each separate pull is
-        # a ~50 ms round trip on remote-dispatch backends).
-        stats = np.asarray(
-            jnp.stack(
-                [
-                    mad_sigma_batched(coeffs[:cur_end_scale]),
-                    vals_d,
-                    xs_d.astype(jnp.float32),
-                    ys_d.astype(jnp.float32),
-                ]
-            )
-        )
+        stats = np.asarray(stats_dev)
         self.rmses, vals = stats[0], stats[1]
         xs = stats[2].astype(np.int32)
         ys = stats[3].astype(np.int32)
@@ -317,7 +329,7 @@ class _IuwtEngine:
             log.debug("No significant pixel found.")
             return False, structure_model_full
 
-        max_val = float(coeffs[max_val_scale, max_y, max_x])
+        max_val = float(stats[4][max_val_scale])  # signed value at the peak
         log.debug(
             f"Most significant pixel: {max_x},{max_y}={max_val} "
             f"({max_val / self.rmses[max_val_scale]} sigma) on scale "
@@ -383,10 +395,11 @@ class _IuwtEngine:
                 "components."
             )
         if allow_trimming:
-            masked_scales = iuwt_ops.apply_mask(coeffs, mask)
-            recomposed = iuwt_ops.recompose(masked_scales, cur_end_scale, False)
             x1, y1, x2, y2 = (
-                int(v) for v in np.asarray(iuwt_ops.bounding_box(recomposed))
+                int(v)
+                for v in np.asarray(
+                    iuwt_ops.masked_recompose_bbox(coeffs, mask, cur_end_scale)
+                )
             )
             x1, y1, x2, y2 = self._adjust_box(
                 x1, y1, x2, y2, width, height, max_comp[2] + 1
@@ -396,7 +409,9 @@ class _IuwtEngine:
         if allow_trimming and ((x2 - x1) < width or (y2 - y1) < height):
             self.box = (x1, y1, x2, y2)
             new_width, new_height = x2 - x1, y2 - y1
-            small_dirty = dirty[y1:y2, x1:x2]
+            small_dirty = iuwt_ops.slice_box2(
+                dirty, y1, x1, new_height, new_width
+            )
             small_psf = self._trim_psf(psf, new_width, new_height)
             max_scale = max(
                 iuwt_ops.end_scale(min(new_width, new_height)),
@@ -408,15 +423,16 @@ class _IuwtEngine:
                     f"{cur_end_scale} -- ignoring scales>={max_scale}."
                 )
                 cur_end_scale = max_scale
-            trimmed_coeffs = jnp.concatenate(
-                [
-                    coeffs[:cur_end_scale, y1:y2, x1:x2],
-                    jnp.zeros((1, new_height, new_width), jnp.float32),
-                ]
+            trimmed_coeffs = iuwt_ops.trim_coeffs_box(
+                coeffs, y1, x1, cur_end_scale, new_height, new_width
             )
-            trimmed_model = structure_model_full[:, y1:y2, x1:x2]
+            trimmed_model = iuwt_ops.slice_box3(
+                structure_model_full, y1, x1, new_height, new_width
+            )
             trimmed_prior = (
-                None if prior_mask is None else prior_mask[y1:y2, x1:x2]
+                None
+                if prior_mask is None
+                else np.asarray(prior_mask)[y1:y2, x1:x2]
             )
             success, trimmed_model = self._fill_and_deconvolve_structure(
                 trimmed_coeffs,
@@ -434,16 +450,15 @@ class _IuwtEngine:
                 allow_trimming=False,
                 prior_mask=trimmed_prior,
             )
-            padded = jnp.zeros_like(structure_model_full)
-            padded = padded.at[:, y1:y2, x1:x2].set(trimmed_model)
+            padded = iuwt_ops.embed_box3_zeros(
+                trimmed_model, y1, x1, height, width
+            )
             self.box = (0, 0, width, height)
             return success, padded
 
         # Un-trimmed path: masked CG solve.
-        dirty_scales = iuwt_ops.decompose(dirty, cur_end_scale)
-        masked_dirty_scales = iuwt_ops.apply_mask(dirty_scales, mask)
-        masked_dirty = iuwt_ops.recompose(
-            masked_dirty_scales, cur_end_scale, False
+        masked_dirty_scales, masked_dirty = iuwt_ops.masked_dirty_of(
+            dirty, mask, cur_end_scale
         )
         structure_model, success = self._run_conjugate_gradient(
             masked_dirty_scales,
@@ -457,15 +472,10 @@ class _IuwtEngine:
         if not success:
             return False, structure_model_full
 
-        conv_model = convolve_same(structure_model, psf)
-        rms_before, rms_after = np.asarray(
-            jnp.stack(
-                [
-                    rms_op(dirty),
-                    rms_op(dirty - self.minor_loop_gain * conv_model),
-                ]
-            )
-        ).tolist()
+        guard, _conv = iuwt_ops.rms_guard(
+            dirty, structure_model, psf, jnp.float32(self.minor_loop_gain)
+        )
+        rms_before, rms_after = np.asarray(guard).tolist()
         if rms_after > rms_before:
             log.debug(f"RMS got worse: {rms_before} -> {rms_after}")
             return False, structure_model_full
@@ -487,8 +497,12 @@ class _IuwtEngine:
 
     @staticmethod
     def _trim_psf(psf: jnp.ndarray, new_width: int, new_height: int):
-        """``TrimPsf`` — centered trim (``iuwt_deconvolution_algorithm.h``)."""
-        return trim(psf, new_height, new_width)
+        """``TrimPsf`` — centered trim (``iuwt_deconvolution_algorithm.h``),
+        as one jitted dynamic-slice dispatch."""
+        h, w = psf.shape
+        top = h // 2 - new_height // 2
+        left = w // 2 - new_width // 2
+        return iuwt_ops.slice_box2(psf, top, left, new_height, new_width)
 
     # -- per-image flux refits --------------------------------------------
     def _perform_sub_image_fit_all(
@@ -512,8 +526,7 @@ class _IuwtEngine:
         x1, y1, x2, y2 = self.box
         n_images = fitted_model_full.shape[0]
         if n_images == 1:
-            out = jnp.zeros_like(fitted_model_full)
-            return out.at[0].set(structure_model)
+            return iuwt_ops.expand_single_plane(structure_model, 1)
 
         correction_factors: List[float] = []
         self._sub_image_fit_single(
@@ -672,14 +685,12 @@ class _IuwtEngine:
         area: np.ndarray,
         n_scales: int,
     ) -> float:
-        conv = convolve_same(model, psf)
-        scales = iuwt_ops.decompose(conv, n_scales)
-        masked_model = iuwt_ops.recompose(
-            iuwt_ops.apply_mask(scales, mask), n_scales, False
+        sums = np.asarray(
+            iuwt_ops.component_fit_ratio(
+                mask, model, masked_dirty, psf, jnp.asarray(area), n_scales
+            )
         )
-        area_j = jnp.asarray(area)
-        model_sum = float(jnp.sum(jnp.where(area_j, masked_model, 0.0)))
-        dirty_sum = float(jnp.sum(jnp.where(area_j, masked_dirty, 0.0)))
+        model_sum, dirty_sum = float(sums[0]), float(sums[1])
         if model_sum == 0.0 or not math.isfinite(dirty_sum) or not math.isfinite(
             model_sum
         ):
@@ -704,8 +715,8 @@ class _IuwtEngine:
         meta = dirty_set.meta
         width, height = self.width, self.height
 
-        dirty = get_linear_integrated(dirty_set.data, meta)
-        psf = get_integrated_psf(psfs, meta)
+        dirty = _linear_integrated(dirty_set.data, meta)
+        psf = _integrated_psf(psfs, meta)
 
         max_scale = iuwt_ops.end_scale(min(width, height))
         cur_end_scale = 2
@@ -733,17 +744,18 @@ class _IuwtEngine:
                 max_components,
             )
             if succeeded:
-                structure_scaled = new_structure * self.minor_loop_gain
-                model_set.data = model_set.data + structure_scaled
-                # dirty -= structure (x) psf, per image with its channel PSF.
-                C = meta.n_channels
-                P = meta.n_polarizations
-                model_c = structure_scaled.reshape(C, P, height, width)
-                conv = convolve_same(model_c, psfs[:, None, :, :])
-                dirty_set.data = dirty_set.data - conv.reshape(
-                    C * P, height, width
+                # Accepted structure: one fused dispatch updates the model,
+                # subtracts structure (x) psf per channel, and re-integrates.
+                model_set.data, dirty_set.data, dirty = (
+                    _apply_structure_update(
+                        model_set.data,
+                        dirty_set.data,
+                        new_structure,
+                        psfs,
+                        jnp.float32(self.minor_loop_gain),
+                        meta,
+                    )
                 )
-                dirty = get_linear_integrated(dirty_set.data, meta)
 
                 while len(max_components) > len(initial_components):
                     initial_components.append(

@@ -180,13 +180,20 @@ def conjugate_gradient(
     max_iterations: int = 20,
 ):
     """``RunConjugateGradient`` (``iuwt_deconvolution_algorithm.cc:326-407``)
-    as one compiled ``lax.while_loop``: the whole 20-iteration masked-CG
-    solve (2 FFT convolutions + 2 IUWT transforms per iteration) runs in a
-    single device dispatch.  Returns (structure_model, success, snr)."""
-    from .convolution import convolve_same
+    as one compiled ``lax.while_loop``.  The reference spends 2 FFT
+    convolutions + 2 IUWT transforms per iteration (one forward for the step,
+    one to re-derive the model's response for the SNR check); the forward
+    operator ``img -> masked-IUWT(img (x) psf)`` is linear, so the model's
+    response is accumulated from the already-computed gradient response
+    instead — 1 convolution + 1 transform per iteration.  The PSF spectrum is
+    also hoisted out of the loop (XLA does not hoist large ops from
+    ``while_loop`` bodies).  Returns (structure_model, success, snr)."""
+    from .convolution import convolve_same_prefft, prepare_kernel_fft
+
+    ker_f = prepare_kernel_fft(psf_kernel_image)
 
     def forward(img):
-        conv = convolve_same(img, psf_kernel_image)
+        conv = convolve_same_prefft(img, ker_f)
         return apply_mask(decompose(conv, n_scales), mask)
 
     def snr_of(model_scales):
@@ -199,44 +206,182 @@ def conjugate_gradient(
     zero_model = jnp.zeros_like(masked_dirty)
 
     def cond(state):
-        it, model, gradient, residual, snr, done, success = state
+        it, model, model_fwd, gradient, residual, snr, done, success = state
         return (~done) & (it < max_iterations)
 
     def body(state):
-        it, model, gradient, residual, snr, done, success = state
-        scratch = recompose(forward(gradient), n_scales, False)
+        it, model, model_fwd, gradient, residual, snr, done, success = state
+        grad_fwd = forward(gradient)
+        scratch = recompose(grad_fwd, n_scales, False)
         gds = jnp.vdot(gradient, scratch)
         rd = jnp.vdot(residual, residual)
         fail = (gds == 0.0) | (rd == 0.0)
         step = jnp.where(gds != 0.0, rd / gds, 0.0)
         model = model + step * gradient
+        model_fwd = model_fwd + step * grad_fwd
         residual2 = residual - step * scratch
         gstep = jnp.where(rd != 0.0, jnp.vdot(residual2, residual2) / rd, 0.0)
         gradient = residual2 + gstep * gradient
         prev_snr = snr
-        snr = snr_of(forward(model))
+        snr = snr_of(model_fwd)
         conv_hi = (snr > 100.0) & (it > 2)
         conv_dec = (snr < prev_snr) & (it > 5) & (snr > 3.0)
         done = fail | conv_hi | conv_dec
         success = ~fail & (conv_hi | conv_dec)
-        return it + 1, model, gradient, residual2, snr, done, success
+        return it + 1, model, model_fwd, gradient, residual2, snr, done, success
 
     init = (
         jnp.int32(0),
         zero_model,
+        jnp.zeros_like(initial_dirty_scales),
         masked_dirty,
         masked_dirty,
         jnp.float32(0.0),
         jnp.asarray(False),
         jnp.asarray(False),
     )
-    it, model, gradient, residual, snr, done, success = jax.lax.while_loop(
-        cond, body, init
+    it, model, model_fwd, gradient, residual, snr, done, success = (
+        jax.lax.while_loop(cond, body, init)
     )
     # Ran all iterations without an early exit: success iff SNR > 3
     # (``iuwt_deconvolution_algorithm.cc:398-406``).
     success = jnp.where(done, success, snr > 3.0)
-    return model, success, snr
+    # Packed [success, snr] so the host pulls one tiny vector (a remote
+    # backend pays a round trip per eager op, even a 2-scalar stack).
+    return model, jnp.stack([success.astype(jnp.float32), snr])
+
+
+@partial(jax.jit, static_argnames=("n_scales", "allow_negative"))
+def structure_stats(image, window, n_scales: int, allow_negative: bool):
+    """Decompose + per-scale MAD sigma + windowed argmax in ONE dispatch.
+
+    Remote-dispatch backends pay a full round trip per eager op; this fuses
+    the front half of ``FindAndDeconvolveStructure``
+    (``iuwt_deconvolution_algorithm.cc:414-483``) so the host pulls a single
+    ``[4, S]`` stat block (sigma, val, x, y) alongside the coefficients."""
+    from .noise import mad_sigma_batched
+
+    coeffs = decompose(image, n_scales)
+    vals, xs, ys = scale_peak_stats(coeffs[:n_scales], window, allow_negative)
+    flat = coeffs[:n_scales].reshape(n_scales, -1)
+    idx = (ys.astype(jnp.int32) * image.shape[-1] + xs.astype(jnp.int32))
+    signed = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0]
+    stats = jnp.stack(
+        [
+            mad_sigma_batched(coeffs[:n_scales]),
+            vals,
+            xs.astype(jnp.float32),
+            ys.astype(jnp.float32),
+            signed,
+        ]
+    )
+    return coeffs, stats
+
+
+@partial(jax.jit, static_argnames=("n_scales",))
+def psf_response_stats(psf: jnp.ndarray, n_scales: int) -> jnp.ndarray:
+    """``MeasureRMSPerScale`` (``iuwt_deconvolution_algorithm.cc:42-102``) in
+    one dispatch: returns ``[3, S]`` = (per-scale RMS of the PSF wavelet
+    response, center peak response, center response of the re-decomposed
+    scale-1 plane)."""
+    scales = decompose(psf, n_scales)
+    h, w = psf.shape
+    cy, cx = h // 2, w // 2
+    rms_v = jnp.sqrt(jnp.mean(scales[:n_scales] ** 2, axis=(1, 2)))
+    peak = scales[:n_scales, cy, cx]
+    next_scales = decompose(scales[1], n_scales)
+    peak_next = next_scales[:n_scales, cy, cx]
+    return jnp.stack([rms_v, peak, peak_next])
+
+
+@partial(jax.jit, static_argnames=("n_scales",))
+def masked_recompose_bbox(coeffs, mask, n_scales: int):
+    """apply_mask + recompose + 1%-support bounding box, one dispatch."""
+    rec = recompose(apply_mask(coeffs, mask), n_scales, False)
+    return bounding_box(rec)
+
+
+@partial(jax.jit, static_argnames=("n_scales",))
+def masked_dirty_of(dirty, mask, n_scales: int):
+    """(masked IUWT of dirty, its recomposition), one dispatch."""
+    mds = apply_mask(decompose(dirty, n_scales), mask)
+    return mds, recompose(mds, n_scales, False)
+
+
+@jax.jit
+def rms_guard(dirty, structure_model, psf, gain):
+    """RMS before/after a candidate gain-scaled subtraction
+    (``iuwt_deconvolution_algorithm.cc:608-618``); returns
+    ``[rms_before, rms_after, conv?]`` — the convolved model is returned so
+    the caller need not redo the FFT when the step is accepted."""
+    from .convolution import convolve_same
+
+    conv = convolve_same(structure_model, psf)
+    rb = jnp.sqrt(jnp.mean(dirty * dirty))
+    d2 = dirty - gain * conv
+    ra = jnp.sqrt(jnp.mean(d2 * d2))
+    return jnp.stack([rb, ra]), conv
+
+
+@partial(jax.jit, static_argnames=("end_scale_n", "new_h", "new_w"))
+def trim_coeffs_box(coeffs, y1, x1, end_scale_n: int, new_h: int, new_w: int):
+    """Slice ``coeffs[:end_scale, box]`` and append a zero smooth plane —
+    the trimmed-recursion input (``FillAndDeconvolveStructure`` trim path) —
+    in one dispatch."""
+    sl = jax.lax.dynamic_slice(
+        coeffs, (jnp.int32(0), y1, x1), (end_scale_n, new_h, new_w)
+    )
+    return jnp.concatenate([sl, jnp.zeros((1, new_h, new_w), sl.dtype)])
+
+
+@partial(jax.jit, static_argnames=("h", "w"))
+def slice_box2(img, y1, x1, h: int, w: int):
+    return jax.lax.dynamic_slice(img, (y1, x1), (h, w))
+
+
+@partial(jax.jit, static_argnames=("h", "w"))
+def slice_box3(img, y1, x1, h: int, w: int):
+    return jax.lax.dynamic_slice(
+        img, (jnp.int32(0), y1, x1), (img.shape[0], h, w)
+    )
+
+
+@jax.jit
+def embed_box3(full, small, y1, x1):
+    """Write ``small`` into ``full`` at (y1, x1) over all leading planes."""
+    return jax.lax.dynamic_update_slice(full, small, (jnp.int32(0), y1, x1))
+
+
+@partial(jax.jit, static_argnames=("full_h", "full_w"))
+def embed_box3_zeros(small, y1, x1, full_h: int, full_w: int):
+    """Zero-filled [N, full_h, full_w] with ``small`` written at (y1, x1)."""
+    full = jnp.zeros((small.shape[0], full_h, full_w), small.dtype)
+    return jax.lax.dynamic_update_slice(full, small, (jnp.int32(0), y1, x1))
+
+
+@partial(jax.jit, static_argnames=("n_planes",))
+def expand_single_plane(structure_model, n_planes: int):
+    """[H, W] -> [n_planes, H, W] with plane 0 = model, rest zero."""
+    out = jnp.zeros(
+        (n_planes,) + structure_model.shape, structure_model.dtype
+    )
+    return out.at[0].set(structure_model)
+
+
+@partial(jax.jit, static_argnames=("n_scales",))
+def component_fit_ratio(mask, model, masked_dirty, psf, area, n_scales: int):
+    """``PerformSubImageComponentFit`` (``iuwt_deconvolution_algorithm.cc:
+    772-801``): flux ratio of the masked-IUWT model response to the masked
+    dirty over one component area, one dispatch."""
+    from .convolution import convolve_same
+
+    conv = convolve_same(model, psf)
+    masked_model = recompose(
+        apply_mask(decompose(conv, n_scales), mask), n_scales, False
+    )
+    model_sum = jnp.sum(jnp.where(area, masked_model, 0.0))
+    dirty_sum = jnp.sum(jnp.where(area, masked_dirty, 0.0))
+    return jnp.stack([model_sum, dirty_sum])
 
 
 def end_scale(max_image_dimension: int) -> int:

@@ -130,8 +130,15 @@ def shard_clean_inputs(
 
 
 def dryrun_step(n_devices: int) -> float:
-    """Compile + execute one sharded clean step on tiny shapes; used by the
-    driver's multi-chip dry-run."""
+    """Compile + execute the sharded deconvolution on tiny shapes; used by
+    the driver's multi-chip dry-run.
+
+    Two layers are exercised: (1) one explicitly-sharded clean step (the
+    collective patterns in isolation), then (2) a FULL ``Radler.perform``
+    with ``parallel.use_device_mesh`` — the entire jitted minor
+    ``while_loop`` partitioned over the ("chan", "tile") mesh, with the
+    channel psum, global argmax max-reduce, and peak broadcast riding the
+    mesh exactly as on a real multi-chip slice."""
     C, Pp, H, W = 2, 2, 64, 64
     mesh = make_mesh(n_devices, n_channels=C)
     key = jax.random.PRNGKey(0)
@@ -140,16 +147,38 @@ def dryrun_step(n_devices: int) -> float:
     psf = jnp.zeros((C, H, W), jnp.float32).at[:, H // 2, W // 2].set(1.0)
     weights = jnp.full((C,), 1.0 / C, jnp.float32)
     with mesh:
-        residual = jax.device_put(residual, cube_sharding(mesh))
+        residual_s = jax.device_put(residual, cube_sharding(mesh))
         model = jax.device_put(
             jnp.zeros((C, Pp, H, W), jnp.float32), cube_sharding(mesh)
         )
-        psf = jax.device_put(
+        psf_s = jax.device_put(
             psf, NamedSharding(mesh, P("chan", None, None))
         )
-        weights = jax.device_put(weights, replicated(mesh))
-        residual, model, peak = sharded_clean_step(
-            residual, model, psf, weights, jnp.float32(0.1)
+        weights_s = jax.device_put(weights, replicated(mesh))
+        residual_s, model, peak = sharded_clean_step(
+            residual_s, model, psf_s, weights_s, jnp.float32(0.1)
         )
-        jax.block_until_ready(residual)
+        jax.block_until_ready(residual_s)
+
+    # Full minor loop over the mesh through the public API.
+    import numpy as np
+    import radler_tpu as rd
+
+    s = rd.Settings()
+    s.trimmed_image_width = W
+    s.trimmed_image_height = H
+    s.minor_iteration_count = 20
+    s.absolute_threshold = 1e-6
+    s.generic.use_sub_minor_optimization = False
+    s.parallel.use_device_mesh = True
+    res_np = np.zeros((C, H, W), np.float32)
+    res_np[:, H // 2, W // 2] = 1.0
+    res_np[:, H // 4, W // 4] = 0.5
+    mdl_np = np.zeros_like(res_np)
+    psf_np = np.asarray(psf)
+    freqs = np.array([[1.0e8 + c * 1e7, 1.1e8 + c * 1e7] for c in range(C)])
+    r = rd.Radler(s, psf_np, res_np, mdl_np, 0.0, frequencies=freqs)
+    r.perform(0)
+    assert np.isfinite(res_np).all() and np.isfinite(mdl_np).all()
+    assert np.abs(res_np).max() < 1.0, "sharded minor loop did not clean"
     return float(peak)

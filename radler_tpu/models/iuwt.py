@@ -98,7 +98,9 @@ class _IuwtEngine:
         self.rmses: Optional[np.ndarray] = None
         # Current bounding box during trimmed recursion.
         self.box = (0, 0, width, height)
-        self._window_cache: Dict[Tuple[int, int], jnp.ndarray] = {}
+        # Keys: (width, height) for the peak-search window, and
+        # ("sel", width, height, box, prior_is_none) for selection windows.
+        self._window_cache: Dict[Tuple, jnp.ndarray] = {}
 
     # -- PSF characterization (``MeasureRMSPerScale``) -------------------
     def measure_rms_per_scale(self, psf: jnp.ndarray, end_scale: int) -> None:
@@ -108,45 +110,52 @@ class _IuwtEngine:
         self.psf_peak_response_to_next = stats[2]
 
     # -- peak search ------------------------------------------------------
-    def _search_window(self, width: int, height: int) -> jnp.ndarray:
-        """Border + user-mask search window, cached per shape (device)."""
-        key = (width, height)
-        cached = self._window_cache.get(key)
-        if cached is not None:
-            return cached
+    def _border_window(self, width: int, height: int) -> np.ndarray:
+        """Host-side clean-border window (``GetMaxAbs`` border semantics)."""
         x_border = int(self.clean_border * width)
         y_border = int(self.clean_border * height)
         window = np.zeros((height, width), dtype=bool)
         window[
             y_border : height - y_border, x_border : width - x_border
         ] = True
-        if self.mask is not None and self.mask.shape == (height, width):
-            window &= self.mask
-        dev = jnp.asarray(window)
-        self._window_cache[key] = dev
-        return dev
+        return window
+
+    def _cached_window(self, key, build) -> jnp.ndarray:
+        cached = self._window_cache.get(key)
+        if cached is None:
+            cached = jnp.asarray(build())
+            self._window_cache[key] = cached
+        return cached
+
+    def _search_window(self, width: int, height: int) -> jnp.ndarray:
+        """Border + user-mask search window, cached per shape (device)."""
+
+        def build():
+            window = self._border_window(width, height)
+            if self.mask is not None and self.mask.shape == (height, width):
+                window &= self.mask
+            return window
+
+        return self._cached_window((width, height), build)
 
     def _select_window(
         self, prior_mask, width: int, height: int
     ) -> jnp.ndarray:
         """Border + prior-mask window for structure selection, cached on
         device per (shape, current box) so repeated structure iterations do
-        not re-upload a full-size bool image every time."""
-        key = ("sel", width, height, self.box, prior_mask is None)
-        cached = self._window_cache.get(key)
-        if cached is not None:
-            return cached
-        x_border = int(self.clean_border * width)
-        y_border = int(self.clean_border * height)
-        window = np.zeros((height, width), dtype=bool)
-        window[
-            y_border : height - y_border, x_border : width - x_border
-        ] = True
-        if prior_mask is not None:
-            window = window & np.asarray(prior_mask)
-        dev = jnp.asarray(window)
-        self._window_cache[key] = dev
-        return dev
+        not re-upload a full-size bool image every time.  The prior mask is
+        fully determined by (self.mask, current box), so the box is a sound
+        cache key."""
+
+        def build():
+            window = self._border_window(width, height)
+            if prior_mask is not None:
+                window = window & np.asarray(prior_mask)
+            return window
+
+        return self._cached_window(
+            ("sel", width, height, self.box, prior_mask is None), build
+        )
 
     # -- structure selection ---------------------------------------------
     def _select_structures(
@@ -472,7 +481,7 @@ class _IuwtEngine:
         if not success:
             return False, structure_model_full
 
-        guard, _conv = iuwt_ops.rms_guard(
+        guard = iuwt_ops.rms_guard(
             dirty, structure_model, psf, jnp.float32(self.minor_loop_gain)
         )
         rms_before, rms_after = np.asarray(guard).tolist()

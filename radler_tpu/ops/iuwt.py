@@ -187,7 +187,8 @@ def conjugate_gradient(
     response is accumulated from the already-computed gradient response
     instead — 1 convolution + 1 transform per iteration.  The PSF spectrum is
     also hoisted out of the loop (XLA does not hoist large ops from
-    ``while_loop`` bodies).  Returns (structure_model, success, snr)."""
+    ``while_loop`` bodies).  Returns ``(structure_model, status)`` where
+    ``status`` is a packed ``[success, snr]`` float vector (one host pull)."""
     from .convolution import convolve_same_prefft, prepare_kernel_fft
 
     ker_f = prepare_kernel_fft(psf_kernel_image)
@@ -258,7 +259,8 @@ def structure_stats(image, window, n_scales: int, allow_negative: bool):
     Remote-dispatch backends pay a full round trip per eager op; this fuses
     the front half of ``FindAndDeconvolveStructure``
     (``iuwt_deconvolution_algorithm.cc:414-483``) so the host pulls a single
-    ``[4, S]`` stat block (sigma, val, x, y) alongside the coefficients."""
+    ``[5, S]`` stat block (sigma, |val|, x, y, signed value at the peak)
+    alongside the coefficients."""
     from .noise import mad_sigma_batched
 
     coeffs = decompose(image, n_scales)
@@ -311,16 +313,15 @@ def masked_dirty_of(dirty, mask, n_scales: int):
 @jax.jit
 def rms_guard(dirty, structure_model, psf, gain):
     """RMS before/after a candidate gain-scaled subtraction
-    (``iuwt_deconvolution_algorithm.cc:608-618``); returns
-    ``[rms_before, rms_after, conv?]`` — the convolved model is returned so
-    the caller need not redo the FFT when the step is accepted."""
+    (``iuwt_deconvolution_algorithm.cc:608-618``); returns a packed
+    ``[rms_before, rms_after]`` vector (one dispatch, one host pull)."""
     from .convolution import convolve_same
 
     conv = convolve_same(structure_model, psf)
     rb = jnp.sqrt(jnp.mean(dirty * dirty))
     d2 = dirty - gain * conv
     ra = jnp.sqrt(jnp.mean(d2 * d2))
-    return jnp.stack([rb, ra]), conv
+    return jnp.stack([rb, ra])
 
 
 @partial(jax.jit, static_argnames=("end_scale_n", "new_h", "new_w"))
@@ -344,12 +345,6 @@ def slice_box3(img, y1, x1, h: int, w: int):
     return jax.lax.dynamic_slice(
         img, (jnp.int32(0), y1, x1), (img.shape[0], h, w)
     )
-
-
-@jax.jit
-def embed_box3(full, small, y1, x1):
-    """Write ``small`` into ``full`` at (y1, x1) over all leading planes."""
-    return jax.lax.dynamic_update_slice(full, small, (jnp.int32(0), y1, x1))
 
 
 @partial(jax.jit, static_argnames=("full_h", "full_w"))

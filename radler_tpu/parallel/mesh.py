@@ -161,8 +161,7 @@ def dryrun_step(n_devices: int) -> float:
         jax.block_until_ready(residual_s)
 
     # Full minor loop over the mesh through the public API.
-    import numpy as np
-    import radler_tpu as rd
+    import radler_tpu as rd  # deferred: avoids a circular import
 
     s = rd.Settings()
     s.trimmed_image_width = W
@@ -171,6 +170,7 @@ def dryrun_step(n_devices: int) -> float:
     s.absolute_threshold = 1e-6
     s.generic.use_sub_minor_optimization = False
     s.parallel.use_device_mesh = True
+    s.parallel.n_devices = n_devices  # dry-run the REQUESTED mesh size
     res_np = np.zeros((C, H, W), np.float32)
     res_np[:, H // 2, W // 2] = 1.0
     res_np[:, H // 4, W // 4] = 0.5

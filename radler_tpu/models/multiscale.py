@@ -146,6 +146,14 @@ def initialize_scales(
             scales.append(entry)
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _accum_scale_mask(mask_acc, comp, s):
+    """OR the nonzero footprint of a component image into mask_acc[s]
+    (device-resident form of ``SubMinorLoop``'s auto-mask update)."""
+    nonzero = jnp.any(comp != 0.0, axis=0)
+    return mask_acc.at[s].set(mask_acc[s] | nonzero)
+
+
 def select_maximum_scale(scales: List[ScaleInfo]) -> Optional[int]:
     """Bias-weighted argmax over active scales
     (``multiscale_algorithm.cc:133-151``)."""
@@ -237,6 +245,15 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
         self._component_list: Optional[ComponentList] = None
         self._kernel_cache: Dict[Tuple, jnp.ndarray] = {}
         self._valid_stack_cache: Optional[jnp.ndarray] = None
+        # Device-resident per-major-iteration tracking state: auto-mask and
+        # component updates accumulate on device and flush to host ONCE per
+        # major iteration (a per-outer-iteration pull costs seconds through
+        # a remote-dispatch tunnel).  Sound because masks are written during
+        # the tracking phase and read during the (later) use phase, never
+        # both within one major iteration (cpp/radler.cc:170-238).
+        self._mask_acc: Optional[jnp.ndarray] = None  # [S, H, W] bool
+        self._comp_acc: Dict[int, jnp.ndarray] = {}  # scale -> [N, H, W]
+        self._weight_cache: Dict[int, jnp.ndarray] = {}
 
     # -- plumbing used by ParallelDeconvolution ------------------------
     def set_auto_mask_mode(self, track: bool, use: bool) -> None:
@@ -277,6 +294,9 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
         c._component_list = None
         c._kernel_cache = {}
         c._valid_stack_cache = None
+        c._mask_acc = None
+        c._comp_acc = {}
+        c._weight_cache = {}
         return c
 
     # -- kernels -------------------------------------------------------
@@ -450,6 +470,9 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
             self.allow_negative_components = True
         # Masks/borders may have changed between major iterations.
         self._valid_stack_cache = None
+        self._weight_cache = {}
+        self._mask_acc = None
+        self._comp_acc = {}
 
         initialize_scales(
             self.scale_infos,
@@ -640,6 +663,7 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
                     "No peak found in main loop of multi-scale cleaning! "
                     "Aborting deconvolution."
                 )
+                self._flush_device_tracking()
                 result.another_iteration_required = False
                 return result
             log.info(
@@ -649,6 +673,8 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
                 f"{self.scale_infos[scale_with_peak].max_image_value_x},"
                 f"{self.scale_infos[scale_with_peak].max_image_value_y}"
             )
+
+        self._flush_device_tracking()
 
         # Stop-reason reporting (multiscale_algorithm.cc:545-575).
         max_iter_reached = self.iteration_number >= self.max_iterations
@@ -885,6 +911,30 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
             )
         return result
 
+    def _flush_device_tracking(self) -> None:
+        """Pull the device-accumulated auto-mask / component updates to host
+        state — ONE transfer per major iteration instead of one per outer
+        iteration (``SubMinorLoop``'s update hooks, ``subminor_loop.cc:
+        220-246``; duplicate component entries merge exactly as
+        ``ComponentList::MergeDuplicates`` would)."""
+        if self._mask_acc is not None:
+            acc = np.asarray(self._mask_acc)
+            for i in range(min(len(self.scale_masks), acc.shape[0])):
+                self.scale_masks[i] |= acc[i]
+            self._mask_acc = None
+        if self._comp_acc:
+            for scale_index, comp in sorted(self._comp_acc.items()):
+                comp_h = np.asarray(comp)
+                ys, xs = np.nonzero(np.any(comp_h != 0.0, axis=0))
+                for j in range(xs.size):
+                    self._component_list.add(
+                        int(xs[j]),
+                        int(ys[j]),
+                        scale_index,
+                        comp_h[:, ys[j], xs[j]],
+                    )
+            self._comp_acc = {}
+
     # -- fast (subminor) path -------------------------------------------
     def _run_fast_sub_loop(
         self,
@@ -1054,24 +1104,36 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
         )
         # Search weight: scale border window x (per-scale or clean mask) x
         # rms factor — identical to the sparse path's selection inputs.
-        scale_border = int(math.ceil(entry.scale * 0.5))
-        hb = max(int(round(width * self.clean_border_ratio)), scale_border)
-        vb = max(int(round(height * self.clean_border_ratio)), scale_border)
-        weight = jnp.asarray(window_mask(height, width, hb, vb), jnp.float32)
-        if self.use_per_scale_masks and self.scale_masks:
-            weight = weight * jnp.asarray(
-                self.scale_masks[scale_with_peak], jnp.float32
-            )
-        elif self.clean_mask is not None:
-            weight = weight * jnp.asarray(self.clean_mask, jnp.float32)
         use_rms = self.rms_factor_image is not None
         rms = (
             self.rms_factor_image
             if use_rms
             else jnp.ones((height, width), jnp.float32)
         )
-        if use_rms:
-            weight = weight * rms
+        weight = self._weight_cache.get(scale_with_peak)
+        if weight is None:
+            # Masks/borders/rms are fixed within a major iteration, so the
+            # search weight is built (and uploaded) once per scale.
+            scale_border = int(math.ceil(entry.scale * 0.5))
+            hb = max(
+                int(round(width * self.clean_border_ratio)), scale_border
+            )
+            vb = max(
+                int(round(height * self.clean_border_ratio)), scale_border
+            )
+            host_weight = window_mask(height, width, hb, vb).astype(
+                np.float32
+            )
+            if self.use_per_scale_masks and self.scale_masks:
+                host_weight *= np.asarray(
+                    self.scale_masks[scale_with_peak], np.float32
+                )
+            elif self.clean_mask is not None:
+                host_weight *= np.asarray(self.clean_mask, np.float32)
+            weight = jnp.asarray(host_weight)
+            if use_rms:
+                weight = weight * rms
+            self._weight_cache[scale_with_peak] = weight
 
         per_plane_psfs = twice_convolved_psfs[jnp.asarray(meta.psf_indices)]
         psf_pad = jnp.pad(
@@ -1154,21 +1216,21 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
         dirty_set.data = _correct_residual(
             dirty_set.data, comp, single_psfs, conv_h, conv_w, meta.n_channels
         )
-        if self.track_per_scale_masks or self.track_components:
-            nonzero = np.asarray(jnp.any(comp != 0.0, axis=0))
-            if self.track_per_scale_masks:
-                self.scale_masks[scale_with_peak] |= nonzero
-            if self.track_components:
-                ys, xs = np.nonzero(nonzero)
-                if xs.size:
-                    values = np.asarray(
-                        comp[:, jnp.asarray(ys), jnp.asarray(xs)]
-                    )
-                    for j in range(xs.size):
-                        self._component_list.add(
-                            int(xs[j]), int(ys[j]), scale_with_peak,
-                            values[:, j],
-                        )
+        if self.track_per_scale_masks:
+            # Device-resident accumulation; flushed to self.scale_masks once
+            # per major iteration (_flush_device_tracking).
+            if self._mask_acc is None:
+                self._mask_acc = jnp.zeros(
+                    (len(self.scale_infos), height, width), bool
+                )
+            self._mask_acc = _accum_scale_mask(
+                self._mask_acc, comp, jnp.int32(scale_with_peak)
+            )
+        if self.track_components:
+            prev = self._comp_acc.get(scale_with_peak)
+            self._comp_acc[scale_with_peak] = (
+                comp if prev is None else prev + comp
+            )
         model_add = self._scale_convolve(comp, entry.scale)
         model_set.data = model_set.data + model_add
         return diverging

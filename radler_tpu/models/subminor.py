@@ -37,44 +37,6 @@ def _capacity_bucket(count: int, maximum: int) -> int:
     return min(cap, maximum) if count <= maximum else maximum
 
 
-# Candidate-set sizes up to which the K x K PSF interaction matrix replaces
-# the per-iteration [C, K] gather.  The positions are fixed for the whole
-# run, so psf[ys[j]-ys[k]+H/2, xs[j]-xs[k]+W/2] can be materialized once;
-# each iteration then reads one column (a contiguous dynamic slice) instead
-# of issuing K random lookups — the measured bottleneck of the sparse loop
-# (~460 of 770 us/iter at K~30k is one XLA gather).  Building costs one
-# K^2-element gather, i.e. roughly K iterations' worth, so the path is
-# gated to small sets where deep cleaning (iterations >> K) is typical.
-_MATRIX_MAX_K = 2048
-_MATRIX_MAX_ENTRIES = 64 * 1024 * 1024  # C * K * K float32 cap (256 MB)
-
-
-@partial(jax.jit, static_argnames=("height", "width"))
-def _build_psf_matrix(
-    psfs: jnp.ndarray,  # [C, H, W]
-    xs: jnp.ndarray,  # [K]
-    ys: jnp.ndarray,  # [K]
-    valid: jnp.ndarray,  # [K] bool
-    *,
-    height: int,
-    width: int,
-):
-    """``mat[c, j, k] = psf[c, ys[j]-ys[k]+H/2, xs[j]-xs[k]+W/2]`` with
-    out-of-bounds and invalid-j entries zeroed — the full table of PSF
-    responses between candidate pairs (``subminor_loop.cc:91-105``
-    semantics, hoisted out of the loop)."""
-    dy = ys[:, None] - ys[None, :] + height // 2  # [K(j), K(k)]
-    dx = xs[:, None] - xs[None, :] + width // 2
-    inb = (dy >= 0) & (dy < height) & (dx >= 0) & (dx < width)
-    inb &= valid[:, None]
-    mat = psfs[
-        :,
-        jnp.clip(dy, 0, height - 1),
-        jnp.clip(dx, 0, width - 1),
-    ]  # [C, K, K]
-    return jnp.where(inb[None], mat, 0.0)
-
-
 @partial(
     jax.jit,
     static_argnames=(
@@ -85,7 +47,6 @@ def _build_psf_matrix(
         "n_polarizations",
         "height",
         "width",
-        "psfs_are_matrix",
     ),
 )
 def _subminor_while(
@@ -95,8 +56,7 @@ def _subminor_while(
     valid: jnp.ndarray,  # [K] bool
     xs: jnp.ndarray,  # [K] int32
     ys: jnp.ndarray,  # [K] int32
-    psfs: jnp.ndarray,  # [C, H, W] (twice-convolved for multiscale), or the
-    # prebuilt [C, K, K] interaction matrix when ``psfs_are_matrix``
+    psfs: jnp.ndarray,  # [C, H, W] (twice-convolved for multiscale)
     coef_lin: jnp.ndarray,  # [N]
     threshold: jnp.ndarray,
     gain: jnp.ndarray,
@@ -111,7 +71,6 @@ def _subminor_while(
     n_polarizations: int,
     height: int,
     width: int,
-    psfs_are_matrix: bool = False,
 ):
     """One full subminor run; mirrors ``SubMinorLoop::Run``
     (``subminor_loop.cc:38-117``)."""
@@ -149,28 +108,21 @@ def _subminor_while(
         # PSF values at every candidate position relative to the component
         # (``subminor_loop.cc:91-105``); note the reference indexes the PSF
         # with the *image* dimensions.
-        if psfs_are_matrix:
-            # One contiguous column slice of the prebuilt interaction
-            # matrix replaces the K-point random gather.
-            psf_vals = jax.lax.dynamic_index_in_dim(
-                psfs, m, axis=2, keepdims=False
-            )  # [C, K]
-        else:
-            dyp = ys - y + height // 2
-            dxp = xs - x + width // 2
-            inb = (
-                (dyp >= 0)
-                & (dyp < height)
-                & (dxp >= 0)
-                & (dxp < width)
-                & valid
-            )
-            psf_vals = psfs[
-                :,
-                jnp.clip(dyp, 0, height - 1),
-                jnp.clip(dxp, 0, width - 1),
-            ]  # [C, K]
-            psf_vals = jnp.where(inb[None, :], psf_vals, 0.0)
+        dyp = ys - y + height // 2
+        dxp = xs - x + width // 2
+        inb = (
+            (dyp >= 0)
+            & (dyp < height)
+            & (dxp >= 0)
+            & (dxp < width)
+            & valid
+        )
+        psf_vals = psfs[
+            :,
+            jnp.clip(dyp, 0, height - 1),
+            jnp.clip(dxp, 0, width - 1),
+        ]  # [C, K]
+        psf_vals = jnp.where(inb[None, :], psf_vals, 0.0)
         res_k = res_k - psf_vals[psf_indices] * component_values[:, None]
         m2, max2 = get_max(res_k)
         diverging = jnp.where(
@@ -408,27 +360,6 @@ class SubMinorLoop:
         model_k = jnp.zeros_like(residual_k)
         coef = jnp.asarray(linear_integration_coefficients(meta))
         fit = fitter if (fitter is not None and fitter.is_active) else None
-        cap = int(self._xs.shape[0])
-        n_psf = int(twice_convolved_psfs.shape[0])
-        remaining = self.max_iterations - self.current_iteration
-        use_matrix = (
-            cap <= _MATRIX_MAX_K
-            and n_psf * cap * cap <= _MATRIX_MAX_ENTRIES
-            and remaining >= cap  # build ~ K iterations' worth of gathering
-        )
-        if use_matrix:
-            psf_arg = _timed(
-                "subminor:psf_matrix",
-                _build_psf_matrix,
-                twice_convolved_psfs,
-                self._xs,
-                self._ys,
-                self._valid,
-                height=self.height,
-                width=self.width,
-            )
-        else:
-            psf_arg = twice_convolved_psfs
         res_k, mod_k, it, max_val, diverging = _timed(
             "subminor:while_loop",
             _subminor_while,
@@ -438,7 +369,7 @@ class SubMinorLoop:
             self._valid,
             self._xs,
             self._ys,
-            psf_arg,
+            twice_convolved_psfs,
             coef,
             jnp.float32(self.threshold),
             jnp.float32(self.gain),
@@ -452,7 +383,6 @@ class SubMinorLoop:
             n_polarizations=meta.n_polarizations,
             height=self.height,
             width=self.width,
-            psfs_are_matrix=use_matrix,
         )
         self._model_k = mod_k
         # One host transfer for all three scalars (each pull costs a full

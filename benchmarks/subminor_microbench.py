@@ -1,16 +1,26 @@
 """Micro-benchmark: sparse subminor loop timing on TPU.
 
-Small-K deep-clean regime: 2048^2 field, ~100 sources, threshold chosen so
-K ~ 1-2k candidates, thousands of iterations.  Pass ``--k30`` to use a low
-threshold targeting the K~30k regime instead.
+2048^2 field, ~100 sources.  Regimes (candidate-set size K is set by the
+selection threshold):
 
-History note: the ``force_matrix`` leg compares the (reverted) XLA-level
-K x K interaction-matrix path against the per-iteration gather; that path
-only exists on commit b99729e (measurements recorded in BASELINE.md and
-docs/architecture.md were taken there: 606->643 us at K=1k, 737->704 us at
-K=32k).  At HEAD the leg is skipped unless the module exposes
-``_MATRIX_MAX_K``.
+* default   — threshold 0.08 x peak, K ~ 7.8k (bucket 8192): the fused
+  single-Pallas-program path (ops/pallas/subminor_fused.py) qualifies.
+* ``--k4``  — threshold 0.2 x peak, K ~ 4.1k (bucket 6144).
+* ``--k20`` — threshold 0.05 x peak, K ~ 20k (bucket 24576): above the
+  default fused K-cap, shows the XLA while-loop regime.
+
+Each regime runs twice: once with the fused path enabled (when it
+qualifies) and once forced onto the XLA path
+(``RADLER_TPU_NO_FUSED_SUBMINOR=1``), so the printout is a direct
+fused-vs-XLA comparison including the one-time interaction-matrix build.
+
+History note: an earlier XLA-level K x K interaction-matrix experiment
+lives only on commit b99729e (measurements in BASELINE.md: 606->643 us at
+K=1k, 737->704 us at K=32k — no win, because the XLA loop is dispatch-
+overhead-bound).  The Pallas kernel removes that overhead: measured
+17.8 us/iter at K=32768 on a v5e.
 """
+import os
 import time
 import numpy as np
 import jax
@@ -50,56 +60,54 @@ def make_problem(size=2048, n_sources=100, seed=7):
     return psf, residual
 
 
-def run_once(force_matrix, psf, residual, threshold, max_iters):
+def run_once(disable_fused, psf, residual, threshold, max_iters):
     size = residual.shape[-1]
     meta = CubeMeta(1, 1, (1.0,), (True,), 1.0, False, (1e8,))
-    loop = sm.SubMinorLoop(size, size, 2 * size, 2 * size)
-    loop.set_threshold(threshold, threshold)
-    loop.set_iteration_info(0, max_iters)
-    loop.set_gain(0.1)
-    saved = getattr(sm, "_MATRIX_MAX_K", None)
-    if force_matrix and saved is None:
-        print(
-            "force_matrix leg skipped: the XLA interaction-matrix path was "
-            "reverted (see b99729e); check out that commit to reproduce the "
-            "matrix-vs-gather comparison."
-        )
-        return None
-    if saved is not None:
-        sm._MATRIX_MAX_K = (1 << 20) if force_matrix else 0
+    if disable_fused:
+        os.environ["RADLER_TPU_NO_FUSED_SUBMINOR"] = "1"
+    else:
+        os.environ.pop("RADLER_TPU_NO_FUSED_SUBMINOR", None)
+    label = "xla" if disable_fused else "auto"
     try:
         res = jnp.asarray(residual)[None]
         psfs = jnp.asarray(psf)[None]
-        count = loop.find_peak_positions(res, meta)
-        print(f"candidates={count} cap={loop._xs.shape[0]}")
-        assert count > 0, "no candidates selected; lower the threshold"
-        # warm-up compile
-        t0 = time.time()
-        div, peak = loop.run(res, meta, psfs)
-        t1 = time.time()
-        iters = loop.current_iteration
+        probe = sm.SubMinorLoop(size, size, 2 * size, 2 * size)
+        probe.set_threshold(threshold, threshold)
+        count = probe.find_peak_positions(res, meta)
+        cap = int(probe._xs.shape[0])
+        fused = (not disable_fused) and probe.fused_qualifies(1, None)
         print(
-            f"force_matrix={force_matrix}: {iters} iters in {t1-t0:.2f}s "
-            f"(incl compile) -> peak={peak:.4g}"
+            f"[{label}] candidates={count} cap={cap} "
+            f"path={'fused-pallas' if fused else 'xla-while'}"
         )
-        # warm second run
-        loop2 = sm.SubMinorLoop(size, size, 2 * size, 2 * size)
-        loop2.set_threshold(threshold, threshold)
-        loop2.set_iteration_info(0, max_iters)
-        loop2.set_gain(0.1)
-        t0 = time.time()
-        div, peak = loop2.run(res, meta, psfs)
-        t1 = time.time()
-        iters = loop2.current_iteration
-        rate = iters / (t1 - t0)
+        assert count > 0, "no candidates selected; lower the threshold"
+
+        def one_run():
+            loop = sm.SubMinorLoop(size, size, 2 * size, 2 * size)
+            loop.set_threshold(threshold, threshold)
+            loop.set_iteration_info(0, max_iters)
+            loop.set_gain(0.1)
+            t0 = time.time()
+            div, peak = loop.run(res, meta, psfs)
+            t1 = time.time()
+            return loop.current_iteration, t1 - t0, peak
+
+        iters, dt, peak = one_run()
+        assert peak is not None
         print(
-            f"force_matrix={force_matrix} WARM: {iters} iters in {t1-t0:.2f}s"
-            f" = {rate:.0f} it/s ({1e6*(t1-t0)/max(iters,1):.0f} us/iter)"
+            f"[{label}] cold: {iters} iters in {dt:.2f}s (incl compile) "
+            f"-> peak={peak:.4g}"
+        )
+        iters, dt, peak = one_run()
+        rate = iters / dt
+        print(
+            f"[{label}] WARM: {iters} iters in {dt:.3f}s = {rate:.0f} it/s "
+            f"({1e6 * dt / max(iters, 1):.1f} us/iter incl. selection"
+            f"{' + matrix build' if fused else ''})"
         )
         return rate
     finally:
-        if saved is not None:
-            sm._MATRIX_MAX_K = saved
+        os.environ.pop("RADLER_TPU_NO_FUSED_SUBMINOR", None)
 
 
 def main():
@@ -107,17 +115,17 @@ def main():
 
     print("devices:", jax.devices())
     psf, residual = make_problem()
-    if "--k30" in sys.argv:
-        # threshold for K ~ 30k candidates (the VERDICT target regime)
-        thr = 0.004 * float(np.abs(residual).max())
+    if "--k20" in sys.argv:
+        frac = 0.05  # K ~ 20k: above the fused cap by default
+    elif "--k4" in sys.argv:
+        frac = 0.2  # K ~ 4.1k
     else:
-        # threshold for K ~ 1-2k candidates
-        thr = 0.05 * float(np.abs(residual).max())
+        frac = 0.08  # K ~ 7.8k (bucket 8192)
+    thr = frac * float(np.abs(residual).max())
     max_iters = 20000
-    r_gather = run_once(False, psf, residual, thr, max_iters)
-    r_matrix = run_once(True, psf, residual, thr, max_iters)
-    if r_matrix is not None and r_gather:
-        print(f"speedup: {r_matrix / r_gather:.2f}x")
+    r_auto = run_once(False, psf, residual, thr, max_iters)
+    r_xla = run_once(True, psf, residual, thr, max_iters)
+    print(f"speedup (auto vs xla): {r_auto / r_xla:.2f}x")
 
 
 if __name__ == "__main__":

@@ -222,22 +222,23 @@ class GenericClean(DeconvolutionAlgorithm):
 
         diverging = False
         max_value: Optional[float] = pk_value
-        # On TPU the fused dense kernel (~171 us/iter at 2048^2) beats the
-        # Clark sparse-set loop (~770 us/iter: XLA's K-gather is latency
-        # bound), so the sub-minor optimization is routed to the dense loop
-        # up to 4096^2 (identical numerics: both subtract the shifted PSF
-        # and stop at the same threshold; the Clark candidate-set
-        # restriction is itself only an optimization, generic_clean.cc:
-        # 115-162).  Beyond 4096^2 the O(pixels) dense pass loses to the
-        # O(set) sparse loop again.
+        # Routing of the sub-minor ("Clark") optimization on TPU: the sparse
+        # candidate-set loop now runs as ONE Pallas program with the PSF
+        # interaction matrix in HBM (ops/pallas/subminor_fused.py) and costs
+        # single-digit us/iteration, so it wins whenever the matrix fits the
+        # HBM budget.  When it does not (huge candidate sets, exotic spectral
+        # fits), the dense fused kernel (~171 us/iter at 2048^2, O(pixels))
+        # beats the overhead-bound XLA sparse loop (~770 us/iter) up to
+        # 4096^2; beyond that the O(set) XLA sparse loop wins again.  The
+        # candidate selection itself is only an optimization
+        # (generic_clean.cc:115-162) — all paths subtract the same shifted
+        # PSF and stop at the same threshold.
         mesh_active = (
             self.device_mesh is not None and self.device_mesh.size > 1
         )
-        dense_beats_subminor = mesh_active or (
-            self._use_pallas_loop(height, width)
-            and height * width <= 4096 * 4096
-        )
-        if self.use_sub_minor_optimization and not dense_beats_subminor:
+        use_subminor = self.use_sub_minor_optimization and not mesh_active
+        sub: Optional[SubMinorLoop] = None
+        if use_subminor:
             sub = SubMinorLoop(width, height, padded_w, padded_h)
             sub.set_iteration_info(self.iteration_number, self.max_iterations)
             sub.set_threshold(first_threshold, first_threshold * 0.99)
@@ -252,7 +253,25 @@ class GenericClean(DeconvolutionAlgorithm):
             hor_border = int(round(width * self.clean_border_ratio))
             vert_border = int(round(height * self.clean_border_ratio))
             sub.set_clean_borders(hor_border, vert_border)
-
+            if self._use_pallas_loop(height, width):
+                # Select now so the fused-path qualification (candidate
+                # count vs matrix budget) can steer sparse-vs-dense.
+                count = sub.find_peak_positions(dirty_set.data, meta)
+                fit = (
+                    self.spectral_fitter
+                    if (
+                        self.spectral_fitter is not None
+                        and self.spectral_fitter.is_active
+                    )
+                    else None
+                )
+                if count > 0 and not sub.fused_qualifies(
+                    int(psfs.shape[0]), fit
+                ):
+                    # Matrix over budget / incompatible fit: the dense fused
+                    # kernel is the better engine up to 4096^2.
+                    use_subminor = not (height * width <= 4096 * 4096)
+        if use_subminor:
             diverging, max_value = sub.run(
                 dirty_set.data, meta, psfs, self.spectral_fitter
             )

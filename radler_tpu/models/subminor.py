@@ -15,6 +15,7 @@ Algorithm description: see the doc comment at
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional, Tuple
 
@@ -25,14 +26,33 @@ import jax.numpy as jnp
 from ..image_set import CubeMeta, linear_integration_coefficients
 from ..ops.convolution import padded_convolve
 from ..ops.peak_finder import window_mask
+from ..settings import SpectralFittingMode
 from ..utils.fft_size import calculate_good_fft_size
+
+# Gates for the fused Pallas subminor kernel (ops/pallas/subminor_fused.py).
+# The [C, K, K] PSF interaction matrix costs one K^2-element XLA gather to
+# build — measured 116M elem/s on a v5e, i.e. ~K^2/1.16e8 seconds — while
+# the fused loop then runs at ~18 us/iter vs ~700 us/iter for the XLA
+# while-loop.  Break-even vs the XLA path is ~C*K^2/8e4 iterations: ~50 at
+# K=2048, ~830 at K=8192, ~13000 at K=32768.  The default K cap keeps the
+# path to regimes where typical deconvolution depths amortize the build;
+# raise it (env) for deep-clean workloads.
+_FUSED_MATRIX_BYTES = int(
+    os.environ.get("RADLER_TPU_SUBMINOR_MATRIX_BYTES", 4_500_000_000)
+)
+_FUSED_MAX_K = int(os.environ.get("RADLER_TPU_SUBMINOR_FUSED_MAX_K", 8192))
 
 
 def _capacity_bucket(count: int, maximum: int) -> int:
-    """Round the candidate count up to a power-of-two bucket so jit caches
-    stay small while the buffer holds every selected pixel."""
+    """Round the candidate count up to a {2^n, 1.5*2^n} bucket so jit caches
+    stay small while the buffer holds every selected pixel.  The midpoint
+    buckets bound the fused path's O(K^2) interaction-matrix build overshoot
+    at 1.78x instead of 4x."""
     cap = 256
     while cap < count:
+        if count <= cap + cap // 2:
+            cap = cap + cap // 2
+            break
         cap *= 2
     return min(cap, maximum) if count <= maximum else maximum
 
@@ -261,6 +281,7 @@ class SubMinorLoop:
         self._residual_k: Optional[jnp.ndarray] = None
         self._rms_k: Optional[jnp.ndarray] = None
         self._meta: Optional[CubeMeta] = None
+        self._count: Optional[int] = None
 
     # -- configuration mirrors (subminor_loop.h:122-172) -------------------
     def set_threshold(self, threshold: float, considered_pixel_threshold: float):
@@ -315,6 +336,7 @@ class SubMinorLoop:
             use_mask=use_mask,
         )
         count = int(count_dev)
+        self._count = count
         if count == 0:
             return 0
         cap = _capacity_bucket(count, self.max_set_capacity)
@@ -336,6 +358,45 @@ class SubMinorLoop:
         self._rms_k = rms_k
         return count
 
+    # -- fused-kernel gating -------------------------------------------------
+    @staticmethod
+    def _fused_projection(fitter) -> Tuple[bool, Optional[tuple]]:
+        """(compatible, projection-tuple) for the fused Pallas kernel.
+
+        NO_FITTING needs no projection; POLYNOMIAL is a constant [C, C]
+        linear map (``ops/spectral_fitting.py``) bakeable into the kernel;
+        everything else (log fits, per-pixel forced terms) is incompatible.
+        """
+        if fitter is None or not fitter.is_active:
+            return True, None
+        if fitter.mode == SpectralFittingMode.POLYNOMIAL:
+            proj = tuple(
+                tuple(float(v) for v in row) for row in fitter._projection
+            )
+            return True, proj
+        return False, None
+
+    def fused_qualifies(self, n_psf_images: int, fitter=None) -> bool:
+        """Whether this run would take the single-Pallas-program fast path
+        (TPU backend, bakeable spectral fit, interaction matrix in budget)."""
+        if os.environ.get("RADLER_TPU_NO_FUSED_SUBMINOR"):
+            return False
+        try:
+            platform = jax.devices()[0].platform
+        except Exception:  # pragma: no cover - no backend at all
+            return False
+        if platform not in ("tpu", "axon"):
+            return False
+        fit_ok, _ = self._fused_projection(
+            fitter if (fitter is not None and fitter.is_active) else None
+        )
+        if not fit_ok:
+            return False
+        cap = int(self._xs.shape[0]) if self._xs is not None else 0
+        if cap == 0 or cap > _FUSED_MAX_K:
+            return False
+        return n_psf_images * cap * cap * 4 <= _FUSED_MATRIX_BYTES
+
     def run(
         self,
         residual_cube: jnp.ndarray,
@@ -347,12 +408,15 @@ class SubMinorLoop:
         from .multiscale import _timed
 
         self._meta = meta
-        count = _timed(
-            "subminor:find_positions",
-            self.find_peak_positions,
-            residual_cube,
-            meta,
-        )
+        if self._count is None:
+            count = _timed(
+                "subminor:find_positions",
+                self.find_peak_positions,
+                residual_cube,
+                meta,
+            )
+        else:
+            count = self._count
         if count == 0:
             return False, None
         residual_k = self._residual_k
@@ -360,30 +424,36 @@ class SubMinorLoop:
         model_k = jnp.zeros_like(residual_k)
         coef = jnp.asarray(linear_integration_coefficients(meta))
         fit = fitter if (fitter is not None and fitter.is_active) else None
-        res_k, mod_k, it, max_val, diverging = _timed(
-            "subminor:while_loop",
-            _subminor_while,
-            residual_k,
-            model_k,
-            rms_k,
-            self._valid,
-            self._xs,
-            self._ys,
-            twice_convolved_psfs,
-            coef,
-            jnp.float32(self.threshold),
-            jnp.float32(self.gain),
-            jnp.int32(self.current_iteration),
-            jnp.int32(self.max_iterations),
-            jnp.float32(self.divergence_limit),
-            allow_negative=self.allow_negative_components,
-            stop_on_negative=self.stop_on_negative_component,
-            fitter=fit,
-            n_channels=meta.n_channels,
-            n_polarizations=meta.n_polarizations,
-            height=self.height,
-            width=self.width,
-        )
+        if self.fused_qualifies(int(twice_convolved_psfs.shape[0]), fit):
+            res_k, mod_k, it, max_val, diverging = self._run_fused(
+                residual_k, model_k, rms_k, meta, twice_convolved_psfs, fit
+            )
+        else:
+            res_k, mod_k, it, max_val, diverging = _timed(
+                "subminor:while_loop",
+                _subminor_while,
+                residual_k,
+                model_k,
+                rms_k,
+                self._valid,
+                self._xs,
+                self._ys,
+                twice_convolved_psfs,
+                coef,
+                jnp.float32(self.threshold),
+                jnp.float32(self.gain),
+                jnp.int32(self.current_iteration),
+                jnp.int32(self.max_iterations),
+                jnp.float32(self.divergence_limit),
+                allow_negative=self.allow_negative_components,
+                stop_on_negative=self.stop_on_negative_component,
+                fitter=fit,
+                n_channels=meta.n_channels,
+                n_polarizations=meta.n_polarizations,
+                height=self.height,
+                width=self.width,
+            )
+        self._residual_k = res_k
         self._model_k = mod_k
         # One host transfer for all three scalars (each pull costs a full
         # round trip on remote-dispatch backends).
@@ -394,6 +464,59 @@ class SubMinorLoop:
         )
         self.current_iteration = int(it_f)
         return bool(div_f), float(max_f)
+
+    def _run_fused(
+        self,
+        residual_k: jnp.ndarray,
+        model_k: jnp.ndarray,
+        rms_k: jnp.ndarray,
+        meta: CubeMeta,
+        twice_convolved_psfs: jnp.ndarray,
+        fit,
+        interpret: bool = False,
+    ):
+        """Single-Pallas-program subminor loop: interaction matrix build +
+        on-chip while loop (``ops/pallas/subminor_fused.py``)."""
+        from .multiscale import _timed
+        from ..ops.pallas.subminor_fused import (
+            build_interaction_matrix,
+            subminor_loop_fused,
+        )
+
+        _, proj = self._fused_projection(fit)
+        coef = tuple(float(v) for v in linear_integration_coefficients(meta))
+        matrix = _timed(
+            "subminor:psf_matrix",
+            build_interaction_matrix,
+            twice_convolved_psfs,
+            self._xs,
+            self._ys,
+            self._valid,
+            height=self.height,
+            width=self.width,
+        )
+        return _timed(
+            "subminor:fused_loop",
+            subminor_loop_fused,
+            residual_k,
+            model_k,
+            rms_k,
+            self._valid,
+            matrix,
+            jnp.float32(self.threshold),
+            jnp.float32(self.gain),
+            jnp.int32(self.current_iteration),
+            jnp.int32(self.max_iterations),
+            jnp.float32(self.divergence_limit),
+            coef=coef,
+            proj=proj,
+            n_channels=meta.n_channels,
+            n_polarizations=meta.n_polarizations,
+            allow_negative=self.allow_negative_components,
+            stop_on_negative=self.stop_on_negative_component,
+            use_rms=self.rms_factor_image is not None,
+            interpret=interpret,
+        )
 
     # -- post-run ----------------------------------------------------------
     def full_model_cube(self) -> jnp.ndarray:

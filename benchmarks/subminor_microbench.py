@@ -60,7 +60,7 @@ def make_problem(size=2048, n_sources=100, seed=7):
     return psf, residual
 
 
-def run_once(disable_fused, psf, residual, threshold, max_iters):
+def run_once(disable_fused, psf, residual, threshold, max_iters, gain=0.1):
     size = residual.shape[-1]
     meta = CubeMeta(1, 1, (1.0,), (True,), 1.0, False, (1e8,))
     if disable_fused:
@@ -73,11 +73,13 @@ def run_once(disable_fused, psf, residual, threshold, max_iters):
         psfs = jnp.asarray(psf)[None]
         probe = sm.SubMinorLoop(size, size, 2 * size, 2 * size)
         probe.set_threshold(threshold, threshold)
+        probe.set_gain(gain)
         count = probe.find_peak_positions(res, meta)
         cap = int(probe._xs.shape[0])
         fused = (not disable_fused) and probe.fused_qualifies(1, None)
+        est = probe._est_logsum / -np.log1p(-gain)
         print(
-            f"[{label}] candidates={count} cap={cap} "
+            f"[{label}] candidates={count} cap={cap} est_iters={est:.0f} "
             f"path={'fused-pallas' if fused else 'xla-while'}"
         )
         assert count > 0, "no candidates selected; lower the threshold"
@@ -86,7 +88,7 @@ def run_once(disable_fused, psf, residual, threshold, max_iters):
             loop = sm.SubMinorLoop(size, size, 2 * size, 2 * size)
             loop.set_threshold(threshold, threshold)
             loop.set_iteration_info(0, max_iters)
-            loop.set_gain(0.1)
+            loop.set_gain(gain)
             t0 = time.time()
             div, peak = loop.run(res, meta, psfs)
             t1 = time.time()
@@ -115,16 +117,23 @@ def main():
 
     print("devices:", jax.devices())
     psf, residual = make_problem()
+    gain = 0.1
+    max_iters = 20000
     if "--k20" in sys.argv:
         frac = 0.05  # K ~ 20k: above the fused cap by default
     elif "--k4" in sys.argv:
         frac = 0.2  # K ~ 4.1k
+    elif "--deep" in sys.argv:
+        # Deep-clean regime: low gain -> ~20k expected iterations over an
+        # 8k candidate set; the fused path's matrix build amortizes.
+        frac = 0.08
+        gain = 0.01
+        max_iters = 50000
     else:
-        frac = 0.08  # K ~ 7.8k (bucket 8192)
+        frac = 0.08  # K ~ 7.8k (bucket 8192), ~1.9k iterations at gain 0.1
     thr = frac * float(np.abs(residual).max())
-    max_iters = 20000
-    r_auto = run_once(False, psf, residual, thr, max_iters)
-    r_xla = run_once(True, psf, residual, thr, max_iters)
+    r_auto = run_once(False, psf, residual, thr, max_iters, gain=gain)
+    r_xla = run_once(True, psf, residual, thr, max_iters, gain=gain)
     print(f"speedup (auto vs xla): {r_auto / r_xla:.2f}x")
 
 

@@ -42,7 +42,12 @@ from ..ops.multiscale_kernels import (
 from ..ops.noise import rms as rms_op
 from ..ops.peak_finder import _FLT_MIN, find_peak, window_mask
 from ..ops.psf_subtract import subtract_psf_from_cube
-from ..settings import MultiscaleSettings, MultiscaleShape, OptimizationAlgorithm
+from ..settings import (
+    MultiscaleSettings,
+    MultiscaleShape,
+    OptimizationAlgorithm,
+    SpectralFittingMode,
+)
 from ..utils.fft_size import get_convolution_size
 from ..utils import logging as log
 from .base import DeconvolutionAlgorithm, DeconvolutionResult
@@ -730,20 +735,18 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
         )
         return est < 6e9
 
-    def _execute_fused(
-        self, dirty_set, model_set, psfs: jnp.ndarray, result
-    ) -> DeconvolutionResult:
-        """One fully on-device major iteration (see ``multiscale_fused.py``)."""
-        from .multiscale_fused import fused_multiscale_minor_loop
-        from .generic_clean import GenericClean, _choose_block_rows
+    def _prepare_fused_banks(
+        self, meta: CubeMeta, width: int, height: int, psfs: jnp.ndarray
+    ):
+        """Per-scale PSF/kernel banks for the fused minor loop; shared by the
+        single-image path and the batched-facet path (the banks depend only
+        on the box size and the PSF, not on the residual)."""
         from ..ops.convolution import (
             _centered_kernel_fft,
             identity_spectrum,
             untrim,
         )
 
-        meta: CubeMeta = dirty_set.meta
-        width, height = dirty_set.width, dirty_set.height
         S = len(self.scale_infos)
 
         # PSF banks; the integrated-PSF pass sets psf_peak/bias/gain
@@ -812,6 +815,44 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
                 )
         kernel_f = jnp.stack(kf_rows)
         kernel_pad_f = jnp.stack(kpf_rows)
+        bias = jnp.asarray(
+            [e.bias_factor for e in self.scale_infos], jnp.float32
+        )
+        gain_arr = jnp.asarray(
+            [e.gain for e in self.scale_infos], jnp.float32
+        )
+        return (
+            kernel_f,
+            twice,
+            corr_f,
+            kernel_pad_f,
+            bias,
+            gain_arr,
+            ph,
+            pw,
+        )
+
+    def _execute_fused(
+        self, dirty_set, model_set, psfs: jnp.ndarray, result
+    ) -> DeconvolutionResult:
+        """One fully on-device major iteration (see ``multiscale_fused.py``)."""
+        from .multiscale_fused import fused_multiscale_minor_loop
+        from .generic_clean import GenericClean, _choose_block_rows
+
+        meta: CubeMeta = dirty_set.meta
+        width, height = dirty_set.width, dirty_set.height
+        S = len(self.scale_infos)
+
+        (
+            kernel_f,
+            twice,
+            corr_f,
+            kernel_pad_f,
+            bias,
+            gain_arr,
+            ph,
+            pw,
+        ) = self._prepare_fused_banks(meta, width, height, psfs)
 
         valid_stack = self._scale_valid_stack(height, width)
         use_rms = self.rms_factor_image is not None
@@ -819,12 +860,6 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
             self.rms_factor_image
             if use_rms
             else jnp.ones((height, width), jnp.float32)
-        )
-        bias = jnp.asarray(
-            [e.bias_factor for e in self.scale_infos], jnp.float32
-        )
-        gain_arr = jnp.asarray(
-            [e.gain for e in self.scale_infos], jnp.float32
         )
         fitter = (
             self.spectral_fitter
@@ -837,9 +872,46 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
         use_pallas = GenericClean._use_pallas_loop(height, width)
         block_rows = _choose_block_rows(height, width, meta.n_images)
 
+        residual_in = dirty_set.data
+        model_in = model_set.data
+        mesh_active = (
+            self.device_mesh is not None and self.device_mesh.size > 1
+        )
+        if mesh_active:
+            # Multi-chip: lay the cube and the per-scale banks over the
+            # ("chan", "tile") mesh and let XLA partition the whole minor
+            # loop — the scale-bank FFTs batch across devices and the
+            # maxima search becomes a tile max-reduce (the reference's
+            # per-scale threads, threaded_deconvolution_tools.cc:30-50).
+            # The Pallas step is single-device only, so the jnp dense
+            # subminor body runs instead.
+            from ..parallel.mesh import shard_multiscale_inputs
+
+            (
+                residual_in,
+                model_in,
+                kernel_f,
+                twice,
+                corr_f,
+                kernel_pad_f,
+                valid_stack,
+                rms_factor,
+            ) = shard_multiscale_inputs(
+                self.device_mesh,
+                residual_in,
+                model_in,
+                kernel_f,
+                twice,
+                corr_f,
+                kernel_pad_f,
+                valid_stack,
+                rms_factor,
+            )
+            use_pallas = False
+
         out = fused_multiscale_minor_loop(
-            dirty_set.data,
-            model_set.data,
+            residual_in,
+            model_in,
             kernel_f,
             twice,
             corr_f,
@@ -910,6 +982,220 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
                 "loop failed to find components."
             )
         return result
+
+    # -- batched facet execution ------------------------------------------
+    def batched_facets_eligible(
+        self, meta: CubeMeta, box_w: int, box_h: int, n_facets: int
+    ) -> bool:
+        """Whether the vmapped fused loop can run ``n_facets`` facets of
+        ``box_h x box_w`` in one program (``ParallelDeconvolution`` checks
+        the cross-facet conditions; this checks per-algorithm state and
+        device memory)."""
+        initialize_scales(
+            self.scale_infos,
+            self.beam_size_in_pixels,
+            min(box_w, box_h),
+            self.ms_settings.shape,
+            self.ms_settings.max_scales,
+            self.ms_settings.scale_list,
+        )
+        if not self._fused_eligible(meta, box_w, box_h):
+            return False
+        if (
+            self.spectral_fitter is not None
+            and self.spectral_fitter.is_active
+            and self.spectral_fitter.mode == SpectralFittingMode.FORCED_TERMS
+        ):
+            # Forced terms are per-pixel images; facet-local coordinates
+            # do not address them.
+            return False
+        # The facet cubes multiply by F where the banks stay shared.
+        N = meta.n_images
+        extra = (n_facets - 1) * 6 * N * box_h * box_w * 4
+        return extra < 4e9
+
+    def execute_batched_facets(
+        self,
+        facet_residual: jnp.ndarray,  # [F, N, Hb, Wb]
+        facet_model: jnp.ndarray,  # [F, N, Hb, Wb]
+        psfs: jnp.ndarray,  # [C, Hb, Wb] (shared across facets)
+        facet_boxes,  # list of (sw, sh) true facet sizes, top-left placed
+        facet_masks: np.ndarray,  # [F, Hb, Wb] bool search masks
+        facet_rms: Optional[jnp.ndarray],  # [F, Hb, Wb] or None
+        major_iteration_threshold: float,
+        start_iterations: np.ndarray,  # [F] int
+        find_peak_only: bool,
+        meta: CubeMeta,
+    ):
+        """All facets' minor loops as ONE vmapped device program.
+
+        The reference farms facets to threads
+        (``parallel_deconvolution.cc:606-617``, ``RecursiveFor::NestedRun``);
+        here the facet axis is a vmap batch axis of the fused multiscale
+        minor loop: the scale banks are shared (facets are padded to a
+        common box and use the same PSF), the per-facet while-loops run in
+        lockstep until every facet reaches its threshold, and the host sees
+        one dispatch per phase instead of one per facet.  Returns
+        ``(residual [F,N,Hb,Wb], model [F,N,Hb,Wb], results, iterations)``.
+        """
+        from functools import partial as _partial
+
+        from .multiscale_fused import fused_multiscale_minor_loop
+
+        F, N, Hb, Wb = facet_residual.shape
+        initialize_scales(
+            self.scale_infos,
+            self.beam_size_in_pixels,
+            min(Wb, Hb),
+            self.ms_settings.shape,
+            self.ms_settings.max_scales,
+            self.ms_settings.scale_list,
+        )
+        S = len(self.scale_infos)
+        (
+            kernel_f,
+            twice,
+            corr_f,
+            kernel_pad_f,
+            bias,
+            gain_arr,
+            ph,
+            pw,
+        ) = self._prepare_fused_banks(meta, Wb, Hb, psfs)
+
+        # Per-facet searchable windows: the scale-dependent border applies
+        # to the TRUE facet box (multiscale_algorithm.cc:597-603), not the
+        # padded canvas; padding stays unsearchable via the facet mask.
+        stacks = np.zeros((F, S, Hb, Wb), dtype=bool)
+        for f, (sw, sh) in enumerate(facet_boxes):
+            for i, entry in enumerate(self.scale_infos):
+                xb = int(round(sw * self.clean_border_ratio))
+                yb = int(round(sh * self.clean_border_ratio))
+                if entry.scale != 0.0:
+                    border_scale = int(math.ceil(entry.scale * 0.5))
+                    xb = max(xb, border_scale)
+                    yb = max(yb, border_scale)
+                stacks[f, i, :sh, :sw] = window_mask(sh, sw, xb, yb)
+            stacks[f] &= facet_masks[f][None]
+
+        use_rms = facet_rms is not None
+        rms = (
+            jnp.asarray(facet_rms)
+            if use_rms
+            else jnp.ones((F, Hb, Wb), jnp.float32)
+        )
+        fitter = (
+            self.spectral_fitter
+            if (
+                self.spectral_fitter is not None
+                and self.spectral_fitter.is_active
+            )
+            else None
+        )
+        starts = jnp.asarray(start_iterations, jnp.int32)
+        if find_peak_only:
+            max_iters = starts  # zero remaining iterations -> peak only
+        else:
+            max_iters = jnp.full((F,), self.max_iterations, jnp.int32)
+
+        loop = _partial(
+            fused_multiscale_minor_loop,
+            meta=meta,
+            allow_negative=self.allow_negative_components,
+            stop_on_negative=self.stop_on_negative_components,
+            fitter=fitter,
+            use_rms=use_rms,
+            use_pallas=False,  # the Pallas step is single-program
+            block_rows=64,
+            padded_h=ph,
+            padded_w=pw,
+        )
+        out = jax.vmap(
+            loop,
+            in_axes=(
+                0,  # residual
+                0,  # model
+                None,  # kernel_f
+                None,  # twice_psfs
+                None,  # corr_f
+                None,  # kernel_pad_f
+                0,  # valid_stack
+                0,  # rms_factor
+                None,  # bias
+                None,  # gain_arr
+                None,  # threshold
+                None,  # major_iteration_threshold
+                None,  # major_loop_gain
+                None,  # sub_loop_gain
+                None,  # minor_loop_gain
+                None,  # divergence_limit
+                0,  # start_iteration
+                0,  # max_iterations
+                None,  # countdown0
+            ),
+        )(
+            facet_residual,
+            facet_model,
+            kernel_f,
+            twice,
+            corr_f,
+            kernel_pad_f,
+            jnp.asarray(stacks),
+            rms,
+            bias,
+            gain_arr,
+            jnp.float32(self.threshold),
+            jnp.float32(major_iteration_threshold),
+            jnp.float32(self.major_loop_gain),
+            jnp.float32(self.ms_settings.sub_minor_loop_gain),
+            jnp.float32(self.minor_loop_gain),
+            jnp.float32(self.divergence_limit),
+            starts,
+            max_iters,
+            jnp.int32(max(8, S * 3 // 2)),
+        )
+
+        (it, peak, any_found, diverging, no_components, is_final, ncomp) = (
+            jax.device_get(
+                (
+                    out.iteration_number,
+                    out.final_biased_peak,
+                    out.any_peak_found,
+                    out.diverging,
+                    out.no_components,
+                    out.is_final_threshold,
+                    out.components_per_scale,
+                )
+            )
+        )
+        results = []
+        for f in range(F):
+            result = DeconvolutionResult()
+            result.final_peak_value = float(peak[f])
+            if not find_peak_only:
+                for i, e in enumerate(self.scale_infos):
+                    e.n_components_cleaned += int(ncomp[f, i])
+            if not bool(any_found[f]):
+                result.another_iteration_required = False
+            else:
+                max_iter_reached = int(it[f]) >= self.max_iterations
+                negative_reached = (
+                    self.stop_on_negative_components and float(peak[f]) < 0.0
+                )
+                result.is_diverging = bool(diverging[f])
+                result.another_iteration_required = (
+                    not max_iter_reached
+                    and not bool(is_final[f])
+                    and not negative_reached
+                    and not bool(diverging[f])
+                )
+            if bool(no_components[f]) and not find_peak_only:
+                log.error(
+                    "Could not continue multi-scale clean in facet %d: the "
+                    "sub-minor loop failed to find components." % f
+                )
+            results.append(result)
+        return out.residual, out.model, results, it
 
     def _flush_device_tracking(self) -> None:
         """Pull the device-accumulated auto-mask / component updates to host

@@ -129,6 +129,62 @@ def shard_clean_inputs(
     return residual, model, psfs, rms_factor, mask
 
 
+def shard_multiscale_inputs(
+    mesh: Mesh,
+    residual: jnp.ndarray,  # [N, H, W]
+    model: jnp.ndarray,  # [N, H, W]
+    kernel_f: jnp.ndarray,  # [S, H, Wf] complex
+    twice_psfs: jnp.ndarray,  # [S, C, H, W]
+    corr_f: jnp.ndarray,  # [S, C, PH, PWf] complex
+    kernel_pad_f: jnp.ndarray,  # [S, PH, PWf] complex
+    valid_stack: jnp.ndarray,  # [S, H, W] bool
+    rms_factor: jnp.ndarray,  # [H, W]
+):
+    """Lay the fused-multiscale state out over the ("chan", "tile") mesh.
+
+    Image planes ride the "chan" axis (when divisible) and image rows the
+    "tile" axis — the reference's per-scale thread parallelism
+    (``threaded_deconvolution_tools.cc:30-50``) becomes XLA-partitioned
+    batched FFTs plus a tile max-reduce for the per-scale argmax
+    (``multiscale_algorithm.cc:578-634``); padded-size spectra are only
+    sharded over "chan" because the 7-smooth padded extent need not divide
+    the tile count."""
+    n_chan = mesh.shape["chan"]
+    n_tile = mesh.shape["tile"]
+    plane_axis = "chan" if residual.shape[0] % n_chan == 0 else None
+    psf_chan_axis = "chan" if twice_psfs.shape[1] % n_chan == 0 else None
+    row_axis = "tile" if residual.shape[1] % n_tile == 0 else None
+    cube = NamedSharding(mesh, P(plane_axis, row_axis, None))
+    residual = jax.device_put(residual, cube)
+    model = jax.device_put(model, cube)
+    kernel_f = jax.device_put(
+        kernel_f, NamedSharding(mesh, P(None, row_axis, None))
+    )
+    twice_psfs = jax.device_put(
+        twice_psfs, NamedSharding(mesh, P(None, psf_chan_axis, row_axis, None))
+    )
+    corr_f = jax.device_put(
+        corr_f, NamedSharding(mesh, P(None, psf_chan_axis, None, None))
+    )
+    kernel_pad_f = jax.device_put(kernel_pad_f, replicated(mesh))
+    valid_stack = jax.device_put(
+        valid_stack, NamedSharding(mesh, P(None, row_axis, None))
+    )
+    rms_factor = jax.device_put(
+        rms_factor, NamedSharding(mesh, P(row_axis, None))
+    )
+    return (
+        residual,
+        model,
+        kernel_f,
+        twice_psfs,
+        corr_f,
+        kernel_pad_f,
+        valid_stack,
+        rms_factor,
+    )
+
+
 def dryrun_step(n_devices: int) -> float:
     """Compile + execute the sharded deconvolution on tiny shapes; used by
     the driver's multi-chip dry-run.
@@ -181,4 +237,55 @@ def dryrun_step(n_devices: int) -> float:
     r.perform(0)
     assert np.isfinite(res_np).all() and np.isfinite(mdl_np).all()
     assert np.abs(res_np).max() < 1.0, "sharded minor loop did not clean"
+
+    # Full MULTISCALE perform over the mesh: the fused minor loop (scale
+    # bank FFTs + dense subminor) partitioned over ("chan", "tile").
+    yy, xx = np.mgrid[0:H, 0:W]
+    g = np.exp(
+        -((yy - H // 2) ** 2.0 + (xx - W // 2) ** 2.0) / (2 * 2.0**2)
+    ).astype(np.float32)
+    ms_psf = np.stack([g / g.max()] * C)
+    sky = np.zeros((H, W), np.float32)
+    sky[H // 3, W // 3] = 1.0
+    sky[2 * H // 3, W // 2] = 0.7
+    conv = np.real(
+        np.fft.ifft2(np.fft.fft2(sky) * np.fft.fft2(np.fft.ifftshift(g)))
+    ).astype(np.float32)
+    ms_res = np.stack([conv * (1.0 - 0.1 * c) for c in range(C)])
+    ms_before = np.abs(ms_res).max()
+    ms_mdl = np.zeros_like(ms_res)
+    s2 = rd.Settings()
+    s2.trimmed_image_width = W
+    s2.trimmed_image_height = H
+    s2.algorithm_type = rd.AlgorithmType.MULTISCALE
+    s2.minor_iteration_count = 40
+    s2.absolute_threshold = 1e-3
+    s2.major_loop_gain = 0.8
+    s2.multiscale.max_scales = 2
+    s2.parallel.use_device_mesh = True
+    s2.parallel.n_devices = n_devices
+    r2 = rd.Radler(s2, ms_psf, ms_res, ms_mdl, 0.0, frequencies=freqs)
+    r2.perform(0)
+    assert np.isfinite(ms_res).all() and np.isfinite(ms_mdl).all()
+    assert np.abs(ms_res).max() < ms_before, "mesh multiscale did not clean"
+
+    # Faceted multiscale: both facet phases as one vmapped program each
+    # (parallel_deconvolution.cc:582-617 pattern, batched on device).
+    f_res = np.stack([conv * (1.0 - 0.1 * c) for c in range(C)])
+    f_before = np.abs(f_res).max()
+    f_mdl = np.zeros_like(f_res)
+    s3 = rd.Settings()
+    s3.trimmed_image_width = W
+    s3.trimmed_image_height = H
+    s3.algorithm_type = rd.AlgorithmType.MULTISCALE
+    s3.minor_iteration_count = 40
+    s3.absolute_threshold = 1e-3
+    s3.major_loop_gain = 0.8
+    s3.multiscale.max_scales = 2
+    s3.parallel.grid_width = 2
+    s3.parallel.grid_height = 2
+    r3 = rd.Radler(s3, ms_psf, f_res, f_mdl, 0.0, frequencies=freqs)
+    r3.perform(0)
+    assert np.isfinite(f_res).all() and np.isfinite(f_mdl).all()
+    assert np.abs(f_res).max() < f_before, "faceted multiscale did not clean"
     return float(peak)

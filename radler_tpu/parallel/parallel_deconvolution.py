@@ -230,6 +230,15 @@ class ParallelDeconvolution:
             for s in sub_images
         ]
 
+        if self._can_batch_facets(sub_images, psf_image_indices, data_image):
+            return self._execute_batched_run(
+                sub_images,
+                data_image,
+                model_image,
+                psf_images[psf_image_indices[0]],
+                major_loop_gain,
+            )
+
         result_model = model_image.clone_shape(width, height)
 
         # Phase 1: peak-only pass over all facets -> global start peak.
@@ -271,6 +280,210 @@ class ParallelDeconvolution:
                 sub_images_finished += 1
             alg = self.algorithms[sub.index]
             if alg.iteration_number >= alg.max_iterations:
+                reached_max_n_iter = True
+        end_peak_value = max((s.peak for s in sub_images), default=0.0)
+        result = ParallelDeconvolutionResult(
+            start_peak=start_peak_value, end_peak=end_peak_value
+        )
+        result.another_iteration_required = sub_images_finished != len(
+            sub_images
+        )
+        if result.another_iteration_required and reached_max_n_iter:
+            result.another_iteration_required = False
+        return result
+
+    # -- batched facet execution ------------------------------------------
+    def _can_batch_facets(
+        self, sub_images: List[SubImage], psf_image_indices, data_image
+    ) -> bool:
+        """Whether all facets can run as one vmapped device program
+        (``models/multiscale.py::execute_batched_facets``).  Falls back to
+        the serial per-facet loop otherwise — identical semantics, one
+        dispatch per facet."""
+        import os
+
+        if os.environ.get("RADLER_TPU_NO_BATCHED_FACETS"):
+            return False
+        if self.settings.algorithm_type != AlgorithmType.MULTISCALE:
+            return False
+        alg = self.algorithms[0]
+        if not hasattr(alg, "batched_facets_eligible"):
+            return False
+        if len(set(psf_image_indices)) != 1:
+            return False  # per-facet DD PSFs would need per-facet banks
+        if self._spectrally_forced_images is not None:
+            return False
+        if self._use_per_scale_masks or self._track_per_scale_masks:
+            return False
+        if self.settings.save_source_list:
+            return False  # per-facet component lists need the serial path
+        box_h = max(s.height for s in sub_images)
+        box_w = max(s.width for s in sub_images)
+        return alg.batched_facets_eligible(
+            data_image.meta, box_w, box_h, len(sub_images)
+        )
+
+    def _execute_batched_run(
+        self,
+        sub_images: List[SubImage],
+        data_image: ImageSet,
+        model_image: ImageSet,
+        psfs: jnp.ndarray,
+        major_loop_gain: float,
+    ) -> ParallelDeconvolutionResult:
+        """Both facet phases (``parallel_deconvolution.cc:582-617``) as one
+        vmapped device program each: facets are padded to a common box, the
+        peak-only pass and the clean pass run all facets in lockstep, and
+        the boundary-masked merge/rollback happens on the stacked outputs.
+        """
+        import numpy as _np
+
+        alg = self.algorithms[0]
+        width, height = data_image.width, data_image.height
+        F = len(sub_images)
+        N = data_image.n_images
+        box_h = max(s.height for s in sub_images)
+        box_w = max(s.width for s in sub_images)
+
+        res_stack = jnp.zeros((F, N, box_h, box_w), jnp.float32)
+        mdl_stack = jnp.zeros((F, N, box_h, box_w), jnp.float32)
+        masks = _np.zeros((F, box_h, box_w), dtype=bool)
+        boxes = []
+        for f, sub in enumerate(sub_images):
+            sh, sw = sub.height, sub.width
+            res_stack = res_stack.at[f, :, :sh, :sw].set(
+                data_image.data[:, sub.y : sub.y + sh, sub.x : sub.x + sw]
+            )
+            # Zero the model outside the boundary so shared sources are not
+            # added by multiple facets (parallel_deconvolution.cc:308-313).
+            bmask = jnp.asarray(sub.boundary_mask)
+            mdl_stack = mdl_stack.at[f, :, :sh, :sw].set(
+                jnp.where(
+                    bmask[None],
+                    model_image.data[
+                        :, sub.y : sub.y + sh, sub.x : sub.x + sw
+                    ],
+                    0.0,
+                )
+            )
+            masks[f, :sh, :sw] = sub.mask
+            boxes.append((sw, sh))
+        initial_models = mdl_stack
+
+        if self._rms_image is not None:
+            rms_stack = jnp.zeros((F, box_h, box_w), jnp.float32)
+            for f, sub in enumerate(sub_images):
+                rms_stack = rms_stack.at[
+                    f, : sub.height, : sub.width
+                ].set(
+                    self._rms_image[
+                        sub.y : sub.y + sub.height, sub.x : sub.x + sub.width
+                    ]
+                )
+        else:
+            rms_stack = None
+
+        if psfs.shape[-2:] != (box_h, box_w):
+            from ..ops.convolution import trim as trim_op
+
+            ph, pw = psfs.shape[-2:]
+            if ph >= box_h and pw >= box_w:
+                psfs = trim_op(psfs, box_h, box_w)
+            else:
+                psfs = untrim(psfs, box_h, box_w)
+
+        starts = _np.asarray(
+            [self.algorithms[s.index].iteration_number for s in sub_images],
+            dtype=_np.int32,
+        )
+
+        # Phase 1: peak-only pass (max-reduce over facets).
+        _, _, peak_results, _ = alg.execute_batched_facets(
+            res_stack,
+            mdl_stack,
+            psfs,
+            boxes,
+            masks,
+            rms_stack,
+            0.0,
+            starts,
+            True,
+            data_image.meta,
+        )
+        start_peak_value = 0.0
+        for f, sub in enumerate(sub_images):
+            sub.peak = peak_results[f].final_peak_value
+            if sub.peak > start_peak_value:
+                start_peak_value = sub.peak
+        peaks_at_start = [abs(s.peak) for s in sub_images]
+        m_iter_threshold = start_peak_value * (1.0 - major_loop_gain)
+
+        # Phase 2: clean every facet to the shared threshold.
+        new_res, new_mdl, results, iters = alg.execute_batched_facets(
+            res_stack,
+            mdl_stack,
+            psfs,
+            boxes,
+            masks,
+            rms_stack,
+            m_iter_threshold,
+            starts,
+            False,
+            data_image.meta,
+        )
+
+        result_model = model_image.clone_shape(width, height)
+        data = data_image.data
+        model_acc = result_model.data
+        for f, sub in enumerate(sub_images):
+            r = results[f]
+            sub.peak = r.final_peak_value
+            sub.reached_major_threshold = r.another_iteration_required
+            self.algorithms[sub.index].iteration_number = int(iters[f])
+            converging = (
+                (
+                    self.settings.divergence_limit == 0.0
+                    or abs(sub.peak)
+                    <= peaks_at_start[f] * self.settings.divergence_limit
+                )
+                and math.isfinite(sub.peak)
+                and not r.is_diverging
+            )
+            if not converging:
+                sub.reached_major_threshold = False
+            sh, sw = sub.height, sub.width
+            bmask = jnp.asarray(sub.boundary_mask)
+            if converging:
+                data = data.at[
+                    :, sub.y : sub.y + sh, sub.x : sub.x + sw
+                ].set(
+                    jnp.where(
+                        bmask[None],
+                        new_res[f, :, :sh, :sw],
+                        data[:, sub.y : sub.y + sh, sub.x : sub.x + sw],
+                    )
+                )
+                facet_model = new_mdl[f, :, :sh, :sw]
+            else:
+                # Rollback: keep the pre-iteration model for this facet
+                # (parallel_deconvolution.cc:398-419).
+                facet_model = initial_models[f, :, :sh, :sw]
+            model_acc = model_acc.at[
+                :, sub.y : sub.y + sh, sub.x : sub.x + sw
+            ].add(facet_model)
+        data_image.data = data
+        result_model.data = model_acc
+        model_image.data = result_model.data
+
+        self._rms_image = None
+
+        sub_images_finished = 0
+        reached_max_n_iter = False
+        for sub in sub_images:
+            if not sub.reached_major_threshold:
+                sub_images_finished += 1
+            a = self.algorithms[sub.index]
+            if a.iteration_number >= a.max_iterations:
                 reached_max_n_iter = True
         end_peak_value = max((s.peak for s in sub_images), default=0.0)
         result = ParallelDeconvolutionResult(

@@ -1,0 +1,99 @@
+"""Vela-equivalent diffuse-source functional gate.
+
+Mirrors the reference's real-data accuracy anchor
+(``cpp/test/test_radler.cc:193-226``): a diffuse supernova-remnant-like
+field with a sidelobed dirty beam and correlated noise is deconvolved
+through the FULL public API with multiscale + 4-sigma auto-masking and one
+``perform`` call, asserting the reference's exact functional bounds:
+
+* 100 <= minor iterations <= ``minor_iteration_count`` (300),
+* residual RMS <= 0.75 x dirty RMS,
+* residual peak <= 0.1 x dirty peak.
+
+The reference downloads the MWA Vela FITS pair (sha256-pinned tarball,
+``cpp/test/CMakeLists.txt:5-13``); this environment has no network, so the
+field is synthesized with the same morphology class (bright shell +
+diffuse blobs + point sources + correlated noise).
+"""
+
+import numpy as np
+
+import radler_tpu as rd
+
+
+def make_case(size=256, seed=12, noise=0.004):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:size, 0:size]
+    r2 = (yy - size // 2) ** 2.0 + (xx - size // 2) ** 2.0
+    # Dirty beam: Gaussian core + positive and negative sidelobe rings.
+    psf = np.exp(-r2 / (2 * 2.5**2))
+    psf += 0.12 * np.exp(-((np.sqrt(r2) - 14.0) ** 2) / (2 * 2.5**2))
+    psf -= 0.05 * np.exp(-((np.sqrt(r2) - 7.0) ** 2) / (2 * 2.0**2))
+    psf = (psf / psf.max()).astype(np.float32)
+    # Sky: supernova-remnant shell + diffuse blobs + point sources.
+    sky = np.zeros((size, size), np.float32)
+    shell = np.exp(
+        -((np.sqrt((yy - 120.0) ** 2 + (xx - 130.0) ** 2) - 30.0) ** 2)
+        / (2 * 6.0**2)
+    )
+    sky += 0.8 * shell.astype(np.float32)
+    for cy, cx, s, a in [
+        (100, 110, 12, 1.0),
+        (140, 150, 9, 0.7),
+        (90, 160, 6, 0.5),
+        (170, 100, 15, 0.4),
+    ]:
+        sky += a * np.exp(
+            -((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * s * s)
+        ).astype(np.float32)
+    ys = rng.integers(40, size - 40, 8)
+    xs = rng.integers(40, size - 40, 8)
+    np.add.at(sky, (ys, xs), rng.uniform(0.3, 1.2, 8).astype(np.float32))
+    dirty = np.real(
+        np.fft.ifft2(np.fft.fft2(sky) * np.fft.fft2(np.fft.ifftshift(psf)))
+    ).astype(np.float32)
+    nz = np.real(
+        np.fft.ifft2(
+            np.fft.fft2(rng.standard_normal((size, size)))
+            * np.fft.fft2(np.fft.ifftshift(psf))
+        )
+    ).astype(np.float32)
+    nz *= noise * np.abs(dirty).max() / nz.std()
+    return psf, (dirty + nz).astype(np.float32)
+
+
+def test_diffuse_source_functional_bounds():
+    psf, dirty = make_case()
+    residual = dirty.copy()
+    model = np.zeros_like(dirty)
+    rms_dirty = float(np.sqrt((dirty**2).mean()))
+    max_dirty = float(dirty.max())
+
+    # Settings mirror cpp/test/test_radler.cc:193-207 field for field.
+    s = rd.Settings()
+    s.algorithm_type = rd.AlgorithmType.MULTISCALE
+    s.absolute_threshold = 1.0e-8
+    s.major_iteration_count = 30
+    s.trimmed_image_width = 256
+    s.trimmed_image_height = 256
+    s.minor_iteration_count = 300
+    s.minor_loop_gain = 0.8
+    s.auto_mask_sigma = 4.0
+    s.pixel_scale.x = 1.0
+    s.pixel_scale.y = 1.0
+    beam_scale = 2.5 * 2.355  # FWHM of the PSF core, in pixels
+
+    r = rd.Radler(s, psf, residual, model, beam_scale)
+    r.perform(0)
+
+    # test_radler.cc:214-226 bounds.
+    assert r.iteration_number <= s.minor_iteration_count
+    assert r.iteration_number >= 100
+    rms_residual = float(np.sqrt((residual**2).mean()))
+    max_residual = float(residual.max())
+    assert rms_residual < 0.75 * rms_dirty
+    assert max_residual < 0.1 * max_dirty
+    # The model must carry the removed flux (finite, non-trivial; model is
+    # in sky units, not dirty-beam units, so only a loose positivity bound).
+    assert np.isfinite(model).all()
+    assert model.max() > 0.5

@@ -13,7 +13,10 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from ..ops.component_optimization import gradient_descent, linear_component_solve
+from ..ops.component_optimization import (
+    linear_component_solve,
+    lm_nonlinear_fit,
+)
 from .base import DeconvolutionAlgorithm, DeconvolutionResult
 
 
@@ -21,9 +24,11 @@ class LsDeconvolution(DeconvolutionAlgorithm):
     """Masked least-squares amplitude fit.
 
     ``linear``: exact solve at mask (or above-threshold) positions
-    (``ls_deconvolution.cc`` ``linearFit``); otherwise an L2 gradient-descent
-    refinement (the reference's ``nonLinearFit`` uses GSL with an L1-ish
-    penalty; the convolution-based GD here minimizes the same residual RMS).
+    (``ls_deconvolution.cc`` ``linearFit``).  Otherwise a regularized
+    Levenberg–Marquardt fit mirroring the reference's ``nonLinearFit``
+    (GSL lmsder over ``[dirty - A x; 0.1 * sum|x|]``,
+    ``ls_deconvolution.cc:243-316``) — run in K-space on device
+    (:func:`radler_tpu.ops.component_optimization.lm_nonlinear_fit`).
     """
 
     def __init__(self, use_linear_solver: bool = True):
@@ -34,28 +39,26 @@ class LsDeconvolution(DeconvolutionAlgorithm):
         self, dirty_set, model_set, psfs: jnp.ndarray
     ) -> DeconvolutionResult:
         meta = dirty_set.meta
+        if not self.use_linear_solver and self.clean_mask is None:
+            # ``nonLinearFit`` requires a mask (ls_deconvolution.cc:245-246).
+            raise RuntimeError("No mask available")
         for i in range(dirty_set.n_images):
             residual = dirty_set.data[i]
             psf = psfs[meta.psf_index(i)]
             if self.clean_mask is not None:
-                support = jnp.asarray(self.clean_mask, jnp.float32)
+                support = np.asarray(self.clean_mask, bool)
             else:
                 # Without a mask, fit every pixel above 5x the image RMS.
-                rms = jnp.sqrt(jnp.mean(residual * residual))
-                support = (jnp.abs(residual) > 5.0 * rms).astype(jnp.float32)
-            # Seed with a negligible value so the solver sees the support
-            # positions; amplitudes are solved against the current residual.
-            seed = support * jnp.float32(1e-30)
+                rms = float(jnp.sqrt(jnp.mean(residual * residual)))
+                support = np.asarray(jnp.abs(residual) > 5.0 * rms)
             if self.use_linear_solver:
+                # Seed with a negligible value so the solver sees the
+                # support positions; amplitudes are solved against the
+                # current residual.
+                seed = jnp.asarray(support, jnp.float32) * jnp.float32(1e-30)
                 delta, residual = linear_component_solve(seed, residual, psf)
             else:
-                delta, residual = gradient_descent(
-                    jnp.zeros_like(seed),
-                    residual,
-                    psf,
-                    n_iterations=10,
-                    support_mask=support,
-                )
+                delta, residual = lm_nonlinear_fit(support, residual, psf)
             dirty_set.data = dirty_set.data.at[i].set(residual)
             model_set.data = model_set.data.at[i].add(delta)
         result = DeconvolutionResult()

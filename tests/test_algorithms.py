@@ -214,6 +214,78 @@ def test_ls_deconvolution_linear():
     assert abs(out_res[10, 11]) < 1e-4
 
 
+def test_ls_deconvolution_nonlinear():
+    """Regularized LM fit (``ls_deconvolution.cc:243-316`` equivalent): on an
+    easy case it must agree with the exact linear solve up to the small L1
+    shrinkage, and it must require a mask like the reference."""
+    from radler_tpu.models.ls_deconvolution import LsDeconvolution
+    from radler_tpu.ops.component_optimization import lm_nonlinear_fit
+    from radler_tpu.image_set import ImageSet
+    from radler_tpu.work_table import (
+        LoadAndStoreImageAccessor,
+        LoadOnlyImageAccessor,
+        WorkTable,
+        WorkTableEntry,
+    )
+
+    size = 32
+    psf = np.zeros((size, size), np.float32)
+    psf[size // 2, size // 2] = 1.0
+    psf[size // 2, size // 2 + 1] = 0.4
+    psf[size // 2 + 1, size // 2] = 0.25
+    truth = {(10, 10): 2.0, (20, 14): 1.0}
+    residual = np.zeros((size, size), np.float32)
+    for (y, x), a in truth.items():
+        residual[y, x] += a
+        residual[y, x + 1] += 0.4 * a
+        residual[y + 1, x] += 0.25 * a
+    model = np.zeros_like(residual)
+
+    table = WorkTable([], 1, 1)
+    e = WorkTableEntry()
+    e.image_weight = 1.0
+    e.psf_accessors = [LoadOnlyImageAccessor(psf)]
+    e.residual_accessor = LoadAndStoreImageAccessor(residual)
+    e.model_accessor = LoadAndStoreImageAccessor(model)
+    table.add_entry(e)
+    dirty_set = ImageSet.from_table(table, False, set(), size, size)
+    model_set = ImageSet.from_table(table, False, set(), size, size)
+    dirty_set.load_and_average(True)
+    model_set.load_and_average(False)
+
+    mask = np.zeros((size, size), bool)
+    for (y, x) in truth:
+        mask[y, x] = True
+
+    alg = LsDeconvolution(use_linear_solver=False)
+    # The reference's nonLinearFit throws without a mask
+    # (ls_deconvolution.cc:245-246).
+    with pytest.raises(RuntimeError, match="mask"):
+        alg.execute_major_iteration(
+            dirty_set, model_set, jnp.asarray(psf)[None]
+        )
+
+    alg.clean_mask = mask
+    alg.execute_major_iteration(dirty_set, model_set, jnp.asarray(psf)[None])
+    out_model = np.asarray(model_set.data[0])
+    out_res = np.asarray(dirty_set.data[0])
+    # mu=0.1 shrinks slightly (~2% on this field); amplitudes must land
+    # near the truth.
+    for (y, x), a in truth.items():
+        assert out_model[y, x] == pytest.approx(a, rel=0.05)
+    assert float(np.abs(out_res).max()) < 0.1
+
+    # Stronger regularization shrinks the total fitted flux (the L1-ish
+    # penalty the reference's GD replacement lacked).
+    weak, _ = lm_nonlinear_fit(
+        mask, jnp.asarray(residual), jnp.asarray(psf), regularization=0.01
+    )
+    strong, _ = lm_nonlinear_fit(
+        mask, jnp.asarray(residual), jnp.asarray(psf), regularization=2.0
+    )
+    assert float(jnp.sum(jnp.abs(strong))) < float(jnp.sum(jnp.abs(weak)))
+
+
 def test_profiling_phase_timer():
     from radler_tpu.utils.profiling import PhaseTimer
 

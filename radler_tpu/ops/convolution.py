@@ -18,7 +18,6 @@ import os
 from functools import partial
 from typing import Optional, Tuple
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -55,21 +54,25 @@ def _matmul_fft_active(h: int, w: int) -> bool:
 
 def forward_fft2(x: jnp.ndarray) -> jnp.ndarray:
     """Forward 2-D spectrum of a real image stack [..., H, W]: full [H, W]
-    complex on the matmul backend, rfft half-plane otherwise (plane-by-plane
-    there — the native batched FFT loses precision, see convolve_same)."""
+    complex on the matmul backend, rfft half-plane otherwise.  The native
+    batched *forward* rfft2 is accurate (re-probed on jax 0.9.0 / v5e,
+    2026-08-20: ≤5e-7 rel. error at [16, 2048, 2048]); only the batched
+    inverse is broken — see :func:`inverse_fft2_real`."""
     h, w = x.shape[-2:]
     if _matmul_fft_active(h, w):
         return mxu_fft.fft2(x)
-    if x.ndim == 2:
-        return jnp.fft.rfft2(x)
-    flat = x.reshape((-1, h, w))
-    out = jax.lax.map(jnp.fft.rfft2, flat)
-    return out.reshape(x.shape[:-2] + out.shape[-2:])
+    return jnp.fft.rfft2(x)
 
 
 def inverse_fft2_real(spec: jnp.ndarray, shape: Tuple[int, int]) -> jnp.ndarray:
     """Real inverse of a spectrum produced by :func:`forward_fft2` (either
-    representation, distinguished by the trailing-axis length)."""
+    representation, distinguished by the trailing-axis length).
+
+    Batched inverses are mapped plane-by-plane: TPU's batched *inverse* FFT
+    loses catastrophic amounts of precision at large sizes (re-measured
+    2026-08-20 on jax 0.9.0 / v5e: 37% rel. error for an [8, 2048, 2048]
+    irfft2 where the single-plane inverse and the batched forward are both
+    exact), and a serial map of full-size FFTs costs the same FLOPs."""
     h, w = shape
     if spec.shape[-1] == w:
         return mxu_fft.ifft2_real(spec)
@@ -139,10 +142,8 @@ def convolve_same(image: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     dims of ``image``; ``kernel`` must have the same spatial size, with
     matching/broadcastable leading dims.
 
-    Batched 2-D FFTs are mapped plane-by-plane: TPU's batched FFT path loses
-    catastrophic amounts of precision at large sizes (measured 26% relative
-    error for an [8, 2048, 2048] rfft2 where the single-plane transform is
-    exact), and a serial map of full-size FFTs costs the same FLOPs.
+    Forward transforms run batched (accurate, see :func:`forward_fft2`);
+    only the inverse is mapped plane-by-plane (see :func:`inverse_fft2_real`).
     """
     h, w = image.shape[-2:]
     assert kernel.shape[-2:] == (h, w), (
@@ -150,7 +151,7 @@ def convolve_same(image: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     )
     if _matmul_fft_active(h, w):
         # The matmul backend batches cleanly (it is matmuls, not the
-        # precision-losing native batched FFT).
+        # precision-losing native batched inverse FFT).
         ker_f = _centered_kernel_fft(kernel, (h, w))
         out = mxu_fft.ifft2_real(mxu_fft.fft2(image) * ker_f)
         return out.astype(image.dtype)
@@ -160,19 +161,10 @@ def convolve_same(image: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
         return jnp.fft.irfft2(img_f * ker_f, s=(h, w)).astype(image.dtype)
 
     lead = jnp.broadcast_shapes(image.shape[:-2], kernel.shape[:-2])
-    n = int(np.prod(lead)) if lead else 1
-    img_b = jnp.broadcast_to(image, lead + (h, w)).reshape(n, h, w)
     ker_rolled = jnp.roll(kernel, (-(h // 2), -(w // 2)), axis=(-2, -1))
-    ker_b = jnp.broadcast_to(ker_rolled, lead + (h, w)).reshape(n, h, w)
-
-    def _one(args):
-        img, ker = args
-        return jnp.fft.irfft2(
-            jnp.fft.rfft2(img) * jnp.fft.rfft2(ker), s=(h, w)
-        )
-
-    out = jax.lax.map(_one, (img_b, ker_b))
-    return out.reshape(lead + (h, w)).astype(image.dtype)
+    spec = jnp.fft.rfft2(image) * jnp.fft.rfft2(ker_rolled)
+    spec = jnp.broadcast_to(spec, lead + spec.shape[-2:])
+    return inverse_fft2_real(spec, (h, w)).astype(image.dtype)
 
 
 def convolve_one_with_many(
@@ -189,11 +181,8 @@ def convolve_one_with_many(
         )
     img_f = jnp.fft.rfft2(image)
     ker_rolled = jnp.roll(kernels, (-(h // 2), -(w // 2)), axis=(-2, -1))
-
-    def _one(ker):
-        return jnp.fft.irfft2(img_f * jnp.fft.rfft2(ker), s=(h, w))
-
-    return jax.lax.map(_one, ker_rolled).astype(image.dtype)
+    spec = img_f[None] * jnp.fft.rfft2(ker_rolled)
+    return inverse_fft2_real(spec, (h, w)).astype(image.dtype)
 
 
 @jax.jit
@@ -206,12 +195,7 @@ def prepare_kernel_fft(kernel: jnp.ndarray) -> jnp.ndarray:
     rolled = jnp.roll(kernel, (-(h // 2), -(w // 2)), axis=(-2, -1))
     if _matmul_fft_active(h, w):
         return mxu_fft.fft2(rolled)
-    if rolled.ndim == 2:
-        return jnp.fft.rfft2(rolled)
-    lead = rolled.shape[:-2]
-    flat = rolled.reshape((-1, h, w))
-    out = jax.lax.map(jnp.fft.rfft2, flat)
-    return out.reshape(lead + out.shape[-2:])
+    return jnp.fft.rfft2(rolled)
 
 
 @jax.jit
@@ -223,17 +207,8 @@ def convolve_same_prefft(image: jnp.ndarray, ker_f: jnp.ndarray) -> jnp.ndarray:
         return mxu_fft.ifft2_real(mxu_fft.fft2(image) * ker_f).astype(
             image.dtype
         )
-    if image.ndim == 2:
-        return jnp.fft.irfft2(jnp.fft.rfft2(image) * ker_f, s=(h, w)).astype(
-            image.dtype
-        )
-    lead = image.shape[:-2]
-    flat = image.reshape((-1, h, w))
-
-    def _one(img):
-        return jnp.fft.irfft2(jnp.fft.rfft2(img) * ker_f, s=(h, w))
-
-    return jax.lax.map(_one, flat).reshape(lead + (h, w)).astype(image.dtype)
+    spec = jnp.fft.rfft2(image) * ker_f
+    return inverse_fft2_real(spec, (h, w)).astype(image.dtype)
 
 
 @partial(jax.jit, static_argnames=("padded_height", "padded_width"))

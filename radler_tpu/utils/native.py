@@ -12,24 +12,30 @@ import subprocess
 
 import numpy as np
 
-_LIB_PATH = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "native",
-    "libradler_host.so",
+_PKG_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# Wheel installs bundle the library inside the package (_native/, see
+# scripts/make_wheels.sh); source checkouts build it under <repo>/native/.
+_CANDIDATES = (
+    os.path.join(_PKG_DIR, "_native", "libradler_host.so"),
+    os.path.join(os.path.dirname(_PKG_DIR), "native", "libradler_host.so"),
 )
+_LIB_PATH = next((p for p in _CANDIDATES if os.path.exists(p)), None)
 
-if not os.path.exists(_LIB_PATH):
-    # Try a one-shot build; tolerate failure (pure-Python fallbacks exist).
+if _LIB_PATH is None:
+    # Try a one-shot build of the source-tree copy; tolerate failure
+    # (pure-Python fallbacks exist).
     try:
         subprocess.run(
-            ["make", "-C", os.path.dirname(_LIB_PATH)],
+            ["make", "-C", os.path.dirname(_CANDIDATES[1])],
             check=True,
             capture_output=True,
             timeout=120,
         )
     except Exception:
         pass
-if not os.path.exists(_LIB_PATH):
+    if os.path.exists(_CANDIDATES[1]):
+        _LIB_PATH = _CANDIDATES[1]
+if _LIB_PATH is None:
     raise ImportError("native helpers not built; run `make -C native`")
 
 _lib = ctypes.CDLL(_LIB_PATH)

@@ -535,10 +535,19 @@ class Radler:
             self._clean_mask = mask_plane != 0.0
             has_mask = True
         elif settings.casa_mask:
-            raise RuntimeError(
-                "CASA masks require casacore, which is not available in the "
-                "TPU build; convert the mask to FITS and use fits_mask"
-            )
+            from .utils.casa_mask_reader import CasaMaskReader
+
+            reader = CasaMaskReader(settings.casa_mask)
+            if (reader.height, reader.width) != (
+                self._image_height,
+                self._image_width,
+            ):
+                raise RuntimeError(
+                    "Specified CASA mask did not have same dimensions as "
+                    "output image!"
+                )
+            self._clean_mask = reader.read()
+            has_mask = True
 
         if settings.horizon_mask_distance is not None:
             if not has_mask:

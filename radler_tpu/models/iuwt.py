@@ -537,18 +537,12 @@ class _IuwtEngine:
         if n_images == 1:
             return iuwt_ops.expand_single_plane(structure_model, 1)
 
-        correction_factors: List[float] = []
-        self._sub_image_fit_single(
-            mask,
-            structure_model,
-            max_comp,
-            psf,
-            dirty,
-            None,
-            correction_factors,
-            n_scales,
-            width,
-            height,
+        components = self._label_components(
+            structure_model, max_comp, n_scales, width, height
+        )
+        correction_factors = self._fit_components(
+            components, mask, structure_model, psf, dirty, n_scales,
+            width, height,
         )
         out = jnp.zeros_like(fitted_model_full)
         meta = dirty_set.meta
@@ -559,52 +553,48 @@ class _IuwtEngine:
                 sub_psf = self._trim_psf(sub_psf_full, width, height)
             else:
                 sub_psf = sub_psf_full
-            fitted = self._sub_image_fit_single(
-                mask,
-                structure_model,
-                max_comp,
-                sub_psf,
-                sub_dirty,
-                jnp.zeros((height, width), jnp.float32),
-                correction_factors,
-                n_scales,
-                width,
-                height,
+            factors = self._fit_components(
+                components, mask, structure_model, sub_psf, sub_dirty,
+                n_scales, width, height,
             )
+            # fitted = structure_model scaled per component by
+            # factor/integrated_factor (components are disjoint, so the
+            # per-component adds collapse to one ratio image).
+            ratio_img = np.zeros((height, width), np.float32)
+            for comp, factor, integrated_factor in zip(
+                components, factors, correction_factors
+            ):
+                if (
+                    math.isfinite(factor)
+                    and math.isfinite(integrated_factor)
+                    and integrated_factor != 0.0
+                ):
+                    ratio_img[comp["area"]] = factor / integrated_factor
+            fitted = structure_model * jnp.asarray(ratio_img)
             out = out.at[img_index].set(fitted)
         return out
 
-    def _sub_image_fit_single(
+    def _label_components(
         self,
-        mask: jnp.ndarray,
         structure_model: jnp.ndarray,
         max_comp: Tuple[int, int, int],
-        psf: jnp.ndarray,
-        sub_dirty: jnp.ndarray,
-        fitted_sub_model: Optional[jnp.ndarray],
-        correction_factors: List[float],
         n_scales: int,
         width: int,
         height: int,
-    ) -> Optional[jnp.ndarray]:
-        """``PerformSubImageFitSingle``
-        (``iuwt_deconvolution_algorithm.cc:673-742``): for every connected
-        component of the structure model, measure the per-image flux factor
-        through the masked-IUWT operator."""
-        dirty_scales = iuwt_ops.decompose(sub_dirty, n_scales)
-        masked_dirty = iuwt_ops.recompose(
-            iuwt_ops.apply_mask(dirty_scales, mask), n_scales, False
-        )
+    ) -> List[dict]:
+        """Connected components of the structure model with adjusted boxes,
+        in the reference's raster-seed order
+        (``PerformSubImageFitSingle``, ``iuwt_deconvolution_algorithm.cc:
+        673-742``).  Labeling runs once per fit-all call — the model, and
+        hence the component set, is identical for every image."""
         model_host = np.asarray(structure_model)
         peak_level = abs(model_host[max_comp[1], max_comp[0]])
         threshold = peak_level * 1e-4
         significant = np.abs(model_host) > threshold
         if _ndimage is None:
             raise RuntimeError("scipy is required for IUWT component labeling")
-        labels, n_components = _ndimage.label(significant)
-        fitted = fitted_sub_model
-        comp_index = 0
-        # Iterate components in the reference's raster-seed order.
+        labels, _ = _ndimage.label(significant)
+        components: List[dict] = []
         seen = set()
         ys_all, xs_all = np.nonzero(significant)
         order = np.argsort(ys_all * width + xs_all, kind="stable")
@@ -620,91 +610,80 @@ class _IuwtEngine:
             bx1, by1, bx2, by2 = self._adjust_box(
                 bx1, by1, bx2, by2, width, height, n_scales
             )
-            component_model = jnp.where(
-                jnp.asarray(area), structure_model, 0.0
+            components.append(
+                {
+                    "area": area,
+                    "box": (bx1, by1, bx2, by2),
+                    "size": (by2 - by1, bx2 - bx1),
+                }
             )
-            factor = self._component_fit_boxed(
-                mask,
-                component_model,
-                masked_dirty,
-                psf,
-                area,
-                bx1,
-                by1,
-                bx2,
-                by2,
-                n_scales,
-                width,
-                height,
-            )
-            if fitted is not None:
-                integrated_factor = correction_factors[comp_index]
-                if (
-                    math.isfinite(factor)
-                    and math.isfinite(integrated_factor)
-                    and integrated_factor != 0.0
-                ):
-                    fitted = fitted + jnp.where(
-                        jnp.asarray(area),
-                        structure_model * (factor / integrated_factor),
-                        0.0,
-                    )
-                comp_index += 1
-            else:
-                correction_factors.append(factor)
-        return fitted
+        return components
 
-    def _component_fit_boxed(
+    def _fit_components(
         self,
+        components: List[dict],
         mask: jnp.ndarray,
-        model: jnp.ndarray,
-        masked_dirty: jnp.ndarray,
+        structure_model: jnp.ndarray,
         psf: jnp.ndarray,
-        area: np.ndarray,
-        x1: int,
-        y1: int,
-        x2: int,
-        y2: int,
+        sub_dirty: jnp.ndarray,
         n_scales: int,
         width: int,
         height: int,
-    ) -> float:
-        """``PerformSubImageComponentFitBoxed`` + ``...Fit``
-        (``iuwt_deconvolution_algorithm.cc:744-801``)."""
-        if x1 > 0 or y1 > 0 or x2 < width or y2 < height:
-            small_model = model[y1:y2, x1:x2]
-            small_mask = mask[:, y1:y2, x1:x2]
-            small_psf = self._trim_psf(psf, x2 - x1, y2 - y1)
-            small_dirty = masked_dirty[y1:y2, x1:x2]
-            small_area = area[y1:y2, x1:x2]
-            return self._component_fit(
-                small_mask, small_model, small_dirty, small_psf, small_area,
-                n_scales,
-            )
-        return self._component_fit(
-            mask, model, masked_dirty, psf, area, n_scales
-        )
+    ) -> List[float]:
+        """Per-component flux factors through the masked-IUWT operator
+        (``PerformSubImageComponentFitBoxed`` + ``...Fit``,
+        ``iuwt_deconvolution_algorithm.cc:744-801``).
 
-    @staticmethod
-    def _component_fit(
-        mask: jnp.ndarray,
-        model: jnp.ndarray,
-        masked_dirty: jnp.ndarray,
-        psf: jnp.ndarray,
-        area: np.ndarray,
-        n_scales: int,
-    ) -> float:
-        sums = np.asarray(
-            iuwt_ops.component_fit_ratio(
-                mask, model, masked_dirty, psf, jnp.asarray(area), n_scales
+        Components are grouped by adjusted-box size (already power-of-two
+        bucketed by ``_adjust_box``) and each bucket runs as ONE device
+        dispatch (:func:`radler_tpu.ops.iuwt.component_fit_ratio_batched`)
+        instead of one dispatch + host round trip per component."""
+        _, masked_dirty = iuwt_ops.masked_dirty_of(sub_dirty, mask, n_scales)
+        factors = [0.0] * len(components)
+        buckets: Dict[Tuple[int, int], List[int]] = {}
+        for idx, comp in enumerate(components):
+            buckets.setdefault(comp["size"], []).append(idx)
+        for (bh, bw), idxs in buckets.items():
+            if (bh, bw) == (height, width):
+                psf_trimmed = psf
+            else:
+                psf_trimmed = self._trim_psf(psf, bw, bh)
+            areas = np.stack(
+                [
+                    components[i]["area"][
+                        components[i]["box"][1] : components[i]["box"][3],
+                        components[i]["box"][0] : components[i]["box"][2],
+                    ]
+                    for i in idxs
+                ]
             )
-        )
-        model_sum, dirty_sum = float(sums[0]), float(sums[1])
-        if model_sum == 0.0 or not math.isfinite(dirty_sum) or not math.isfinite(
-            model_sum
-        ):
-            return 0.0
-        return dirty_sum / model_sum
+            y1s = np.asarray([components[i]["box"][1] for i in idxs], np.int32)
+            x1s = np.asarray([components[i]["box"][0] for i in idxs], np.int32)
+            sums = np.asarray(
+                iuwt_ops.component_fit_ratio_batched(
+                    mask,
+                    structure_model,
+                    masked_dirty,
+                    psf_trimmed,
+                    jnp.asarray(areas),
+                    jnp.asarray(y1s),
+                    jnp.asarray(x1s),
+                    n_scales,
+                    bh,
+                    bw,
+                )
+            )
+            for row, i in enumerate(idxs):
+                model_sum, dirty_sum = float(sums[row, 0]), float(sums[row, 1])
+                if (
+                    model_sum == 0.0
+                    or not math.isfinite(dirty_sum)
+                    or not math.isfinite(model_sum)
+                ):
+                    factors[i] = 0.0
+                else:
+                    factors[i] = dirty_sum / model_sum
+        return factors
 
     # -- the major iteration ----------------------------------------------
     def perform_major_iteration(

@@ -379,6 +379,54 @@ def component_fit_ratio(mask, model, masked_dirty, psf, area, n_scales: int):
     return jnp.stack([model_sum, dirty_sum])
 
 
+@partial(jax.jit, static_argnames=("n_scales", "bh", "bw"))
+def component_fit_ratio_batched(
+    mask: jnp.ndarray,  # [S, H, W] bool
+    model: jnp.ndarray,  # [H, W] structure model
+    masked_dirty: jnp.ndarray,  # [H, W]
+    psf_trimmed: jnp.ndarray,  # [bh, bw] (pre-trimmed to the bucket size)
+    areas: jnp.ndarray,  # [P, bh, bw] bool per-component areas (box-local)
+    y1s: jnp.ndarray,  # [P] int32 box origins
+    x1s: jnp.ndarray,  # [P] int32
+    n_scales: int,
+    bh: int,
+    bw: int,
+) -> jnp.ndarray:
+    """All components of one box-size bucket in ONE device dispatch.
+
+    Per component this is exactly ``PerformSubImageComponentFitBoxed`` +
+    ``...Fit`` (``iuwt_deconvolution_algorithm.cc:744-801``): slice the
+    component's adjusted box, restrict the model to the component area,
+    convolve with the (same-size) trimmed PSF, masked-IUWT it, and measure
+    the model/dirty flux sums over the area.  The host loop over components
+    (and its one device round trip each) is replaced by a ``lax.map`` inside
+    a single program — FFTs stay single-plane, so the TPU batched-inverse
+    precision bug is not in play.  Returns ``[P, 2]`` (model_sum, dirty_sum).
+    """
+    from .convolution import convolve_same
+
+    s = mask.shape[0]
+
+    def one(args):
+        area, y1, x1 = args
+        m = jax.lax.dynamic_slice(model, (y1, x1), (bh, bw))
+        msk = jax.lax.dynamic_slice(mask, (jnp.int32(0), y1, x1), (s, bh, bw))
+        dirty = jax.lax.dynamic_slice(masked_dirty, (y1, x1), (bh, bw))
+        comp_model = jnp.where(area, m, 0.0)
+        conv = convolve_same(comp_model, psf_trimmed)
+        mm = recompose(
+            apply_mask(decompose(conv, n_scales), msk), n_scales, False
+        )
+        return jnp.stack(
+            [
+                jnp.sum(jnp.where(area, mm, 0.0)),
+                jnp.sum(jnp.where(area, dirty, 0.0)),
+            ]
+        )
+
+    return jax.lax.map(one, (areas, y1s, x1s))
+
+
 def end_scale(max_image_dimension: int) -> int:
     """``max(log2(dim) - 3, 2)`` (``iuwt_decomposition.h:182-184``)."""
     return max(int(math.log2(max_image_dimension)) - 3, 2)

@@ -66,6 +66,41 @@ def test_iuwt_diffuse_source():
     assert abs(model.sum() - sky.sum()) < 0.2 * sky.sum()
 
 
+def test_iuwt_multichannel_flux_refit():
+    """Multi-image IUWT exercises the per-image component flux refit
+    (``PerformSubImageFitAll``, ``iuwt_deconvolution_algorithm.cc:628-742``,
+    batched on device): per-channel models must track each channel's flux
+    scale."""
+    size = 128
+    rng = np.random.default_rng(1)
+    psf = gaussian_psf(size)
+    yy, xx = np.mgrid[0:size, 0:size]
+    sky = np.exp(
+        -((yy - 60.0) ** 2 + (xx - 70.0) ** 2) / (2 * 4.0**2)
+    ).astype(np.float32)
+    conv = np.asarray(
+        padded_convolve(jnp.asarray(sky), jnp.asarray(psf))
+    ).astype(np.float32)
+    scales = (1.0, 1.6)
+    residual = np.stack([conv * s for s in scales])
+    residual += rng.normal(scale=1e-3, size=residual.shape).astype(np.float32)
+    model = np.zeros_like(residual)
+    psfs = np.stack([psf, psf])
+    dirty_rms = np.sqrt((residual**2).mean(axis=(1, 2)))
+
+    settings = make_settings(rd.AlgorithmType.IUWT, size)
+    settings.minor_iteration_count = 50
+    freqs = np.array([[1.0e8, 1.1e8], [1.2e8, 1.3e8]])
+    r = rd.Radler(settings, psfs, residual, model, 0.0, frequencies=freqs)
+    r.perform(0)
+
+    final_rms = np.sqrt((residual**2).mean(axis=(1, 2)))
+    assert (final_rms <= 0.3 * dirty_rms).all()
+    # The refit scales each channel's components by its own flux factor.
+    flux = model.sum(axis=(1, 2))
+    assert flux[1] / flux[0] == pytest.approx(scales[1] / scales[0], rel=0.1)
+
+
 def test_asp_point_source():
     size = 64
     ps = np.array(

@@ -27,24 +27,35 @@ def make_mesh(
 ) -> Mesh:
     """Build a ("chan", "tile") mesh over the available devices.
 
-    The channel axis only takes a factor that also divides the cube's channel
-    count (when given), so shardings stay valid for any problem shape.
+    The layout is channel-major: the "chan" axis takes the largest device
+    factor that divides the cube's channel count.  Channel sharding keeps
+    every 2-D FFT (the dominant cost of the multiscale/IUWT paths) fully
+    local to a device, whereas row sharding forces an all-to-all transpose
+    inside each transform — so spatial tiling only receives the devices the
+    channel count cannot use (e.g. 64 channels on 8 devices -> chan=8;
+    2 channels on 8 devices -> chan=2, tile=4).  When the channel count is
+    unknown, a conservative factor of <=4 rides "chan" so shardings stay
+    valid for any problem shape.
     """
     devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     n = len(devices)
-    # Prefer giving parallelism to the spatial axis; put leftover factor of 2
-    # (or 4) on channels when device and channel counts allow.
     chan = 1
-    for candidate in (4, 2):
-        if (
-            n % candidate == 0
-            and n // candidate > 1
-            and (n_channels is None or n_channels % candidate == 0)
-        ):
-            chan = candidate
-            break
+    if n_channels is not None:
+        chan = max(
+            (
+                d
+                for d in range(1, n + 1)
+                if n % d == 0 and n_channels % d == 0
+            ),
+            default=1,
+        )
+    else:
+        for candidate in (4, 2):
+            if n % candidate == 0 and n // candidate > 1:
+                chan = candidate
+                break
     tile = n // chan
     mesh_devices = np.asarray(devices).reshape(chan, tile)
     return Mesh(mesh_devices, ("chan", "tile"))

@@ -83,6 +83,41 @@ def inverse_fft2_real(spec: jnp.ndarray, shape: Tuple[int, int]) -> jnp.ndarray:
     return out.reshape(spec.shape[:-2] + (h, w))
 
 
+def probe_batched_fft_accuracy(
+    n: int = 8, size: int = 2048, seed: int = 0
+) -> dict:
+    """Measure batched-vs-per-plane FFT agreement on the live backend.
+
+    This module's routing rests on a measured property of jax 0.9.0 / TPU
+    v5e: the batched *forward* rfft2 is accurate while the batched *inverse*
+    loses precision at large sizes (see :func:`inverse_fft2_real`).  A
+    jax/libtpu upgrade could silently change either; callers (bench.py) run
+    this probe once at startup and warn if the assumption flipped.
+
+    Returns ``{"forward_rel_err": float, "inverse_rel_err": float}`` where
+    each value is the max relative error of the batched op against the
+    per-plane op on an [n, size, size] float32 stack.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal((n, size, size)), jnp.float32)
+
+    batched_f = jax.jit(jnp.fft.rfft2)(x)
+    per_plane_f = jax.jit(lambda v: jax.lax.map(jnp.fft.rfft2, v))(x)
+    scale_f = jnp.max(jnp.abs(per_plane_f))
+    fwd_err = float(jnp.max(jnp.abs(batched_f - per_plane_f)) / scale_f)
+
+    spec = per_plane_f
+    batched_i = jax.jit(lambda s: jnp.fft.irfft2(s, s=(size, size)))(spec)
+    per_plane_i = jax.jit(
+        lambda s: jax.lax.map(lambda f: jnp.fft.irfft2(f, s=(size, size)), s)
+    )(spec)
+    scale_i = jnp.max(jnp.abs(per_plane_i))
+    inv_err = float(jnp.max(jnp.abs(batched_i - per_plane_i)) / scale_i)
+    return {"forward_rel_err": fwd_err, "inverse_rel_err": inv_err}
+
+
 def identity_spectrum(h: int, w: int) -> jnp.ndarray:
     """Spectrum of the centered delta kernel (= flat ones) in the active
     representation for (h, w)."""

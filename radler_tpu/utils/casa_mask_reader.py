@@ -179,7 +179,7 @@ class CasaMaskReader:
                 "(table.f*_TSM0) found; convert the mask to FITS (e.g. with "
                 "casa exportfits) and use fits_mask instead"
             )
-        data_file = data_files[0]
+        data_file = self._pick_map_data_file(path, data_files)
         header_file = data_file[: -len("_TSM0")]
         if not os.path.exists(header_file):
             raise RuntimeError(
@@ -214,6 +214,40 @@ class CasaMaskReader:
             arr = _detile(raw, cube, tile, "<f4")
         self._cube = arr
         self.width, self.height, self.n_polarizations, self.n_channels = cube
+
+    @staticmethod
+    def _pick_map_data_file(path: str, data_files: List[str]) -> str:
+        """The TSM data file backing the ``map`` column.
+
+        The reference reads exactly the ``map`` column
+        (``casa_mask_reader.cc:14``); a table with several tiled data columns
+        must not silently decode the wrong cube.  Each storage manager's
+        header (``table.f<n>``) serializes the names of the columns it binds,
+        so when more than one candidate exists the one whose header mentions
+        ``map`` is chosen; ambiguity falls back to the FITS-conversion error.
+        """
+        if len(data_files) == 1:
+            return data_files[0]
+        matches = []
+        for data_file in data_files:
+            header_file = data_file[: -len("_TSM0")]
+            try:
+                with open(header_file, "rb") as f:
+                    header = f.read()
+            except OSError:
+                continue
+            # AipsIO writes strings as uInt length + bytes; "map" appears as
+            # \x00\x00\x00\x03map in the bound-column list.
+            if b"\x00\x00\x00\x03map" in header:
+                matches.append(data_file)
+        if len(matches) == 1:
+            return matches[0]
+        raise RuntimeError(
+            f"CASA image {path!r}: {len(data_files)} tiled storage manager "
+            "data files found and the 'map' column binding is ambiguous; "
+            "convert the mask to FITS (e.g. with casa exportfits) and use "
+            "fits_mask instead"
+        )
 
     def read(self) -> np.ndarray:
         """OR of ``pixel != 0`` over every channel/polarization plane

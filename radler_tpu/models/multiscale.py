@@ -707,12 +707,6 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
             return False
         if not self.ms_settings.fast_sub_minor_loop:
             return False
-        if (
-            self.track_per_scale_masks
-            or self.use_per_scale_masks
-            or self.track_components
-        ):
-            return False
         if not self.scale_infos:
             return False
         S = len(self.scale_infos)
@@ -733,6 +727,12 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
             + 6 * N * height * width * 4  # cube copies + padded PSF transient
             + 4 * N * ph * pw * 8  # padded FFT temporaries
         )
+        # Auto-mask / component accumulators carried through the loop
+        # (tracked device-side, flushed once per major iteration).
+        if self.track_per_scale_masks:
+            est += S * height * width
+        if self.track_components:
+            est += 2 * S * N * height * width * 4
         return est < 6e9
 
     def _prepare_fused_banks(
@@ -938,25 +938,39 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
             block_rows=block_rows,
             padded_h=ph,
             padded_w=pw,
+            track_masks=self.track_per_scale_masks,
+            track_components=self.track_components,
         )
         dirty_set.data = out.residual
         model_set.data = out.model
-        (it, peak, any_found, diverging, no_components, is_final, ncomp) = (
-            jax.device_get(
-                (
-                    out.iteration_number,
-                    out.final_biased_peak,
-                    out.any_peak_found,
-                    out.diverging,
-                    out.no_components,
-                    out.is_final_threshold,
-                    out.components_per_scale,
-                )
+        (it, peak, any_found, diverging, no_components, is_final, ncomp,
+         flux) = jax.device_get(
+            (
+                out.iteration_number,
+                out.final_biased_peak,
+                out.any_peak_found,
+                out.diverging,
+                out.no_components,
+                out.is_final_threshold,
+                out.components_per_scale,
+                out.flux_per_scale,
             )
         )
         self.iteration_number = int(it)
         for i, e in enumerate(self.scale_infos):
             e.n_components_cleaned += int(ncomp[i])
+            e.total_flux_cleaned += float(flux[i])
+        # Flush the on-device auto-mask / component accumulators to host
+        # state — one transfer per major iteration, as in the host path.
+        if self.track_per_scale_masks:
+            self._mask_acc = out.mask_acc
+        if self.track_components:
+            self._comp_acc = {
+                i: out.comp_acc[i]
+                for i in range(len(self.scale_infos))
+                if int(ncomp[i]) > 0
+            }
+        self._flush_device_tracking()
         result.final_peak_value = float(peak)
         if not bool(any_found):
             log.warn("No peak found during multi-scale cleaning! Aborting.")

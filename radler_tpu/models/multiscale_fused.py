@@ -59,6 +59,8 @@ class FusedMultiscaleResult(NamedTuple):
     is_final_threshold: jnp.ndarray  # bool: stopped at the absolute threshold
     components_per_scale: jnp.ndarray  # [S] int32
     flux_per_scale: jnp.ndarray  # [S] float32
+    mask_acc: jnp.ndarray  # [S, H, W] bool (track_masks) or [1, 1, 1] dummy
+    comp_acc: jnp.ndarray  # [S, N, H, W] f32 (track_components) or dummy
 
 
 
@@ -199,6 +201,8 @@ def dense_subminor_loop(
         "block_rows",
         "padded_h",
         "padded_w",
+        "track_masks",
+        "track_components",
     ),
 )
 def fused_multiscale_minor_loop(
@@ -231,6 +235,8 @@ def fused_multiscale_minor_loop(
     block_rows: int,
     padded_h: int,
     padded_w: int,
+    track_masks: bool = False,
+    track_components: bool = False,
 ) -> FusedMultiscaleResult:
     N, H, W = residual.shape
     S = kernel_f.shape[0]
@@ -352,10 +358,25 @@ def fused_multiscale_minor_loop(
         sel = jnp.where(active, jnp.abs(vals * bias), neg_inf)
         return jnp.argmax(sel)
 
+    # Auto-mask / component-list accumulators (the host path's
+    # ``_mask_acc``/``_comp_acc``, here carried through the on-device loop;
+    # ``SubMinorLoop``'s update hooks, ``subminor_loop.cc:220-246``).
+    # Dummies keep the carried-state pytree shape-stable when not tracked.
+    mask_acc0 = (
+        jnp.zeros((S, H, W), bool)
+        if track_masks
+        else jnp.zeros((1, 1, 1), bool)
+    )
+    comp_acc0 = (
+        jnp.zeros((S, N, H, W), jnp.float32)
+        if track_components
+        else jnp.zeros((1, 1, 1, 1), jnp.float32)
+    )
+
     # ---- outer loop -------------------------------------------------------
     def outer_cond(state):
         (res, mod, it, countdown, vals, xs, ys, found, active, ncomp, flux,
-         div, nocomp) = state
+         div, nocomp, _mask_acc, _comp_acc) = state
         s = select_scale(vals, active)
         peak_unnorm = vals[s]
         ok = it < max_iterations
@@ -367,7 +388,7 @@ def fused_multiscale_minor_loop(
 
     def outer_body(state):
         (res, mod, it, countdown, vals, xs, ys, found, active, ncomp, flux,
-         div, _nocomp) = state
+         div, _nocomp, mask_acc, comp_acc) = state
         s = select_scale(vals, active)
         biased_peak = jnp.abs(vals[s] * bias[s])
         sub_gain_threshold = biased_peak * (1.0 - sub_loop_gain)
@@ -437,6 +458,21 @@ def fused_multiscale_minor_loop(
         flux = flux.at[s].add(
             jnp.sum(comp) * jnp.float32(1.0)
         )
+        if track_masks:
+            nonzero = jnp.any(comp != 0.0, axis=0)
+            row = jax.lax.dynamic_index_in_dim(
+                mask_acc, s, 0, keepdims=False
+            )
+            mask_acc = jax.lax.dynamic_update_index_in_dim(
+                mask_acc, row | nonzero, s, 0
+            )
+        if track_components:
+            row = jax.lax.dynamic_index_in_dim(
+                comp_acc, s, 0, keepdims=False
+            )
+            comp_acc = jax.lax.dynamic_update_index_in_dim(
+                comp_acc, row + comp, s, 0
+            )
 
         # Scale (de)activation uses the pre-refresh maxima
         # (multiscale_algorithm.cc:636-656) ...
@@ -447,7 +483,7 @@ def fused_multiscale_minor_loop(
         vals, xs, ys, found = find_maxima(res)
         return (
             res, mod, it, countdown, vals, xs, ys, found, active, ncomp,
-            flux, div, nocomp,
+            flux, div, nocomp, mask_acc, comp_acc,
         )
 
     init = (
@@ -464,9 +500,13 @@ def fused_multiscale_minor_loop(
         jnp.zeros((S,), jnp.float32),
         jnp.asarray(False),
         jnp.asarray(False),
+        mask_acc0,
+        comp_acc0,
     )
     (res, mod, it, countdown, vals, xs, ys, found, active, ncomp, flux,
-     div, nocomp) = jax.lax.while_loop(outer_cond, outer_body, init)
+     div, nocomp, mask_acc, comp_acc) = jax.lax.while_loop(
+        outer_cond, outer_body, init
+    )
 
     s_final = select_scale(vals, active)
     final_biased = vals[s_final] * bias[s_final]
@@ -482,4 +522,6 @@ def fused_multiscale_minor_loop(
         is_final_threshold=is_final_threshold,
         components_per_scale=ncomp,
         flux_per_scale=flux,
+        mask_acc=mask_acc,
+        comp_acc=comp_acc,
     )

@@ -47,7 +47,15 @@ def _diffuse_problem(size, n_channels, seed=5):
     return psfs, residual
 
 
-def _run(fused: bool, size=128, nch=2, iters=120, with_fit=True):
+def _run(
+    fused: bool,
+    size=128,
+    nch=2,
+    iters=120,
+    with_fit=True,
+    automask=False,
+    n_majors=1,
+):
     os.environ.pop("RADLER_TPU_NO_FUSED_MS", None)
     if not fused:
         os.environ["RADLER_TPU_NO_FUSED_MS"] = "1"
@@ -60,6 +68,8 @@ def _run(fused: bool, size=128, nch=2, iters=120, with_fit=True):
         s.minor_iteration_count = iters
         s.minor_loop_gain = 0.1
         s.major_loop_gain = 0.85
+        if automask:
+            s.auto_mask_sigma = 4.0
         freqs = None
         if with_fit:
             s.spectral_fitting.mode = rd.SpectralFittingMode.POLYNOMIAL
@@ -70,17 +80,25 @@ def _run(fused: bool, size=128, nch=2, iters=120, with_fit=True):
         model = np.zeros_like(residual)
         resid = residual.copy()
         r = rd.Radler(s, psfs, resid, model, 0.0, frequencies=freqs)
-        more = r.perform(0)
+        more = True
+        for major in range(n_majors):
+            more = r.perform(major)
+            if not more:
+                break
         alg = r._parallel.algorithms[0]
         ncomp = [e.n_components_cleaned for e in alg.scale_infos]
-        return resid, model, r.iteration_number, more, ncomp
+        masks = [
+            None if m is None else np.asarray(m)
+            for m in alg.scale_masks
+        ]
+        return resid, model, r.iteration_number, more, ncomp, masks
     finally:
         os.environ.pop("RADLER_TPU_NO_FUSED_MS", None)
 
 
 def test_fused_matches_host_path():
-    res_h, mod_h, it_h, more_h, nc_h = _run(False)
-    res_f, mod_f, it_f, more_f, nc_f = _run(True)
+    res_h, mod_h, it_h, more_h, nc_h, _ = _run(False)
+    res_f, mod_f, it_f, more_f, nc_f, _ = _run(True)
     assert it_f == it_h
     assert more_f == more_h
     assert nc_f == nc_h
@@ -90,7 +108,7 @@ def test_fused_matches_host_path():
 
 
 def test_fused_single_channel_converges():
-    res_f, mod_f, it_f, _, _ = _run(True, nch=1, with_fit=False, iters=400)
+    res_f, mod_f, it_f, _, _, _ = _run(True, nch=1, with_fit=False, iters=400)
     psfs, residual = _diffuse_problem(128, 1)
     assert float(np.sqrt(np.mean(res_f**2))) < 0.5 * float(
         np.sqrt(np.mean(residual**2))
@@ -98,9 +116,31 @@ def test_fused_single_channel_converges():
     assert it_f > 10
 
 
-def test_fused_gated_off_with_tracking():
-    """Auto-mask tracking needs per-outer-iteration host state: the fused
-    path must decline and the host path still converge."""
+def test_fused_matches_host_path_with_automask():
+    """The flagship configuration (multiscale + auto-mask, the Vela case,
+    ``cpp/test/test_radler.cc:193-226``) must take the fused path and
+    reproduce the host path across BOTH auto-mask phases: phase 1 tracks
+    per-scale masks on device, phase 2 cleans restricted to them."""
+    kw = dict(nch=1, with_fit=False, iters=150, automask=True, n_majors=3)
+    res_h, mod_h, it_h, more_h, nc_h, masks_h = _run(False, **kw)
+    res_f, mod_f, it_f, more_f, nc_f, masks_f = _run(True, **kw)
+    assert it_f == it_h
+    assert more_f == more_h
+    assert nc_f == nc_h
+    scale = max(1.0, float(np.abs(res_h).max()))
+    assert np.abs(res_f - res_h).max() / scale < 1e-4
+    assert np.abs(mod_f - mod_h).max() / scale < 1e-4
+    # The tracked per-scale auto-masks agree exactly.
+    assert len(masks_f) == len(masks_h)
+    for mf, mh in zip(masks_f, masks_h):
+        assert (mf is None) == (mh is None)
+        if mf is not None:
+            np.testing.assert_array_equal(mf, mh)
+
+
+def test_fused_eligible_with_tracking():
+    """Auto-mask / component tracking no longer gates the fused path off:
+    the accumulators are carried through the on-device loop."""
     size = 128
     psfs, residual = _diffuse_problem(size, 1)
     s = rd.Settings()
@@ -117,6 +157,8 @@ def test_fused_gated_off_with_tracking():
     r.perform(0)
     alg = r._parallel.algorithms[0]
     assert alg.track_per_scale_masks
-    # The gate rejects before ever touching meta when tracking is on.
-    assert not alg._fused_eligible(None, size, size)
     assert r.iteration_number > 0
+    # Phase 1 built non-empty tracked masks on device.
+    assert any(
+        m is not None and np.asarray(m).any() for m in alg.scale_masks
+    )

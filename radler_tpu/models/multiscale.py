@@ -289,8 +289,11 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
         return self._component_list
 
     def clear_component_list(self) -> None:
-        if self._component_list is not None:
-            self._component_list.clear()
+        # The reference resets the list entirely
+        # (``multiscale_algorithm.h:46``): a fresh one is allocated with the
+        # current (sub-)image dimensions on the next run, so facet boxes may
+        # change between major iterations.
+        self._component_list = None
 
     def clone(self) -> "MultiScaleAlgorithm":
         c = super().clone()
@@ -999,7 +1002,12 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
 
     # -- batched facet execution ------------------------------------------
     def batched_facets_eligible(
-        self, meta: CubeMeta, box_w: int, box_h: int, n_facets: int
+        self,
+        meta: CubeMeta,
+        box_w: int,
+        box_h: int,
+        n_facets: int,
+        n_unique_psfs: int = 1,
     ) -> bool:
         """Whether the vmapped fused loop can run ``n_facets`` facets of
         ``box_h x box_w`` in one program (``ParallelDeconvolution`` checks
@@ -1024,15 +1032,31 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
             # do not address them.
             return False
         # The facet cubes multiply by F where the banks stay shared.
-        N = meta.n_images
+        N, C = meta.n_images, meta.n_channels
+        S = max(len(self.scale_infos), 1)
         extra = (n_facets - 1) * 6 * N * box_h * box_w * 4
+        if n_unique_psfs > 1:
+            # Direction-dependent PSFs: the twice-convolved stacks and
+            # correction spectra are gathered per facet.
+            max_scale = max(e.scale for e in self.scale_infos)
+            ph = get_convolution_size(
+                max_scale, box_h, self.ms_settings.convolution_padding
+            )
+            pw = get_convolution_size(
+                max_scale, box_w, self.ms_settings.convolution_padding
+            )
+            extra += n_facets * S * C * (box_h * box_w * 4 + ph * pw * 8)
+        if self.track_per_scale_masks or self.use_per_scale_masks:
+            extra += n_facets * S * box_h * box_w
+        if self.track_components:
+            extra += 2 * n_facets * S * N * box_h * box_w * 4
         return extra < 4e9
 
     def execute_batched_facets(
         self,
         facet_residual: jnp.ndarray,  # [F, N, Hb, Wb]
         facet_model: jnp.ndarray,  # [F, N, Hb, Wb]
-        psfs: jnp.ndarray,  # [C, Hb, Wb] (shared across facets)
+        psfs: jnp.ndarray,  # [C, Hb, Wb] shared, or [U, C, Hb, Wb] DD banks
         facet_boxes,  # list of (sw, sh) true facet sizes, top-left placed
         facet_masks: np.ndarray,  # [F, Hb, Wb] bool search masks
         facet_rms: Optional[jnp.ndarray],  # [F, Hb, Wb] or None
@@ -1040,6 +1064,8 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
         start_iterations: np.ndarray,  # [F] int
         find_peak_only: bool,
         meta: CubeMeta,
+        facet_psf_slot=None,  # [F] index into the U axis (DD PSFs)
+        facet_scale_masks=None,  # [F, S, Hb, Wb] bool loaded per-scale masks
     ):
         """All facets' minor loops as ONE vmapped device program.
 
@@ -1047,10 +1073,16 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
         (``parallel_deconvolution.cc:606-617``, ``RecursiveFor::NestedRun``);
         here the facet axis is a vmap batch axis of the fused multiscale
         minor loop: the scale banks are shared (facets are padded to a
-        common box and use the same PSF), the per-facet while-loops run in
-        lockstep until every facet reaches its threshold, and the host sees
-        one dispatch per phase instead of one per facet.  Returns
-        ``(residual [F,N,Hb,Wb], model [F,N,Hb,Wb], results, iterations)``.
+        common box), the per-facet while-loops run in lockstep until every
+        facet reaches its threshold, and the host sees one dispatch per
+        phase instead of one per facet.  With direction-dependent PSFs
+        (``psfs`` 4-D + ``facet_psf_slot``) the PSF-dependent banks are
+        built per unique PSF and gathered along the facet axis, so per-facet
+        bias/gain schedules match the serial path's per-clone state
+        (``parallel_deconvolution.cc:229-242``).  Returns ``(residual
+        [F,N,Hb,Wb], model [F,N,Hb,Wb], results, iterations, mask_acc,
+        comp_acc)`` where the last two are the per-facet tracking
+        accumulators ([F,S,Hb,Wb] / [F,S,N,Hb,Wb], dummies when untracked).
         """
         from functools import partial as _partial
 
@@ -1066,16 +1098,43 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
             self.ms_settings.scale_list,
         )
         S = len(self.scale_infos)
-        (
-            kernel_f,
-            twice,
-            corr_f,
-            kernel_pad_f,
-            bias,
-            gain_arr,
-            ph,
-            pw,
-        ) = self._prepare_fused_banks(meta, Wb, Hb, psfs)
+        per_facet_psfs = psfs.ndim == 4
+        if per_facet_psfs:
+            # Build banks per unique PSF; the scale-kernel spectra are
+            # PSF-independent (identical every call), the PSF stacks and
+            # bias/gain schedules differ.
+            twice_u, corr_u, bias_u, gain_u = [], [], [], []
+            for u in range(psfs.shape[0]):
+                (
+                    kernel_f,
+                    twice_1,
+                    corr_1,
+                    kernel_pad_f,
+                    bias_1,
+                    gain_1,
+                    ph,
+                    pw,
+                ) = self._prepare_fused_banks(meta, Wb, Hb, psfs[u])
+                twice_u.append(twice_1)
+                corr_u.append(corr_1)
+                bias_u.append(bias_1)
+                gain_u.append(gain_1)
+            slot = jnp.asarray(np.asarray(facet_psf_slot, np.int32))
+            twice = jnp.stack(twice_u)[slot]  # [F, S, C, Hb, Wb]
+            corr_f = jnp.stack(corr_u)[slot]  # [F, S, C, PH, PWf]
+            bias = jnp.stack(bias_u)[slot]  # [F, S]
+            gain_arr = jnp.stack(gain_u)[slot]  # [F, S]
+        else:
+            (
+                kernel_f,
+                twice,
+                corr_f,
+                kernel_pad_f,
+                bias,
+                gain_arr,
+                ph,
+                pw,
+            ) = self._prepare_fused_banks(meta, Wb, Hb, psfs)
 
         # Per-facet searchable windows: the scale-dependent border applies
         # to the TRUE facet box (multiscale_algorithm.cc:597-603), not the
@@ -1091,6 +1150,11 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
                     yb = max(yb, border_scale)
                 stacks[f, i, :sh, :sw] = window_mask(sh, sw, xb, yb)
             stacks[f] &= facet_masks[f][None]
+        if self.use_per_scale_masks and facet_scale_masks is not None:
+            # Phase-2 auto-masking: each scale searches only its own tracked
+            # positions (the serial path's per-facet mask load,
+            # ``parallel_deconvolution.cc:359-390``).
+            stacks &= np.asarray(facet_scale_masks, dtype=bool)
 
         use_rms = facet_rms is not None
         rms = (
@@ -1123,20 +1187,23 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
             block_rows=64,
             padded_h=ph,
             padded_w=pw,
+            track_masks=self.track_per_scale_masks,
+            track_components=self.track_components,
         )
+        psf_axis = 0 if per_facet_psfs else None
         out = jax.vmap(
             loop,
             in_axes=(
                 0,  # residual
                 0,  # model
                 None,  # kernel_f
-                None,  # twice_psfs
-                None,  # corr_f
+                psf_axis,  # twice_psfs
+                psf_axis,  # corr_f
                 None,  # kernel_pad_f
                 0,  # valid_stack
                 0,  # rms_factor
-                None,  # bias
-                None,  # gain_arr
+                psf_axis,  # bias
+                psf_axis,  # gain_arr
                 None,  # threshold
                 None,  # major_iteration_threshold
                 None,  # major_loop_gain
@@ -1209,7 +1276,7 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
                     "sub-minor loop failed to find components." % f
                 )
             results.append(result)
-        return out.residual, out.model, results, it
+        return out.residual, out.model, results, it, out.mask_acc, out.comp_acc
 
     def _flush_device_tracking(self) -> None:
         """Pull the device-accumulated auto-mask / component updates to host

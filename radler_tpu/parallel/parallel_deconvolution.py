@@ -235,7 +235,8 @@ class ParallelDeconvolution:
                 sub_images,
                 data_image,
                 model_image,
-                psf_images[psf_image_indices[0]],
+                psf_images,
+                psf_image_indices,
                 major_loop_gain,
             )
 
@@ -309,18 +310,18 @@ class ParallelDeconvolution:
         alg = self.algorithms[0]
         if not hasattr(alg, "batched_facets_eligible"):
             return False
-        if len(set(psf_image_indices)) != 1:
-            return False  # per-facet DD PSFs would need per-facet banks
         if self._spectrally_forced_images is not None:
+            # Forced terms are per-pixel global images; the fitter inside
+            # the fused loop addresses facet-local coordinates.
             return False
-        if self._use_per_scale_masks or self._track_per_scale_masks:
-            return False
-        if self.settings.save_source_list:
-            return False  # per-facet component lists need the serial path
         box_h = max(s.height for s in sub_images)
         box_w = max(s.width for s in sub_images)
         return alg.batched_facets_eligible(
-            data_image.meta, box_w, box_h, len(sub_images)
+            data_image.meta,
+            box_w,
+            box_h,
+            len(sub_images),
+            n_unique_psfs=len(set(psf_image_indices)),
         )
 
     def _execute_batched_run(
@@ -328,14 +329,20 @@ class ParallelDeconvolution:
         sub_images: List[SubImage],
         data_image: ImageSet,
         model_image: ImageSet,
-        psfs: jnp.ndarray,
+        psf_images: List[jnp.ndarray],
+        psf_image_indices: List[int],
         major_loop_gain: float,
     ) -> ParallelDeconvolutionResult:
         """Both facet phases (``parallel_deconvolution.cc:582-617``) as one
         vmapped device program each: facets are padded to a common box, the
         peak-only pass and the clean pass run all facets in lockstep, and
         the boundary-masked merge/rollback happens on the stacked outputs.
-        """
+        Direction-dependent PSFs become per-unique-PSF bank stacks gathered
+        along the facet axis; per-scale auto-masks and component lists ride
+        the fused loop's on-device accumulators and are merged/flushed here
+        (the serial path's ``_load_scale_masks_into`` /
+        ``_store_scale_masks_from`` / component aggregation,
+        ``parallel_deconvolution.cc:359-390,425-479``)."""
         import numpy as _np
 
         alg = self.algorithms[0]
@@ -383,14 +390,49 @@ class ParallelDeconvolution:
         else:
             rms_stack = None
 
-        if psfs.shape[-2:] != (box_h, box_w):
+        def fit_to_box(p):
+            if p.shape[-2:] == (box_h, box_w):
+                return p
             from ..ops.convolution import trim as trim_op
 
-            ph, pw = psfs.shape[-2:]
+            ph, pw = p.shape[-2:]
             if ph >= box_h and pw >= box_w:
-                psfs = trim_op(psfs, box_h, box_w)
-            else:
-                psfs = untrim(psfs, box_h, box_w)
+                return trim_op(p, box_h, box_w)
+            return untrim(p, box_h, box_w)
+
+        unique_indices = sorted(set(psf_image_indices))
+        if len(unique_indices) == 1:
+            psfs = fit_to_box(psf_images[unique_indices[0]])
+            facet_psf_slot = None
+        else:
+            # Direction-dependent PSFs: stack the unique PSFs on a leading
+            # axis; each facet selects its bank by slot.
+            slot_of = {u: i for i, u in enumerate(unique_indices)}
+            psfs = jnp.stack(
+                [fit_to_box(psf_images[u]) for u in unique_indices]
+            )
+            facet_psf_slot = [slot_of[i] for i in psf_image_indices]
+
+        # Per-facet per-scale mask boxes (phase-1 starting state / phase-2
+        # search restriction), as the serial path loads per clone.
+        track_masks = self._track_per_scale_masks
+        use_masks = self._use_per_scale_masks
+        facet_scale_masks = None
+        n_scales = getattr(alg, "scale_count", 0)
+        if (track_masks or use_masks) and self._scale_masks:
+            facet_scale_masks = _np.zeros(
+                (F, max(n_scales, len(self._scale_masks)), box_h, box_w),
+                dtype=bool,
+            )
+            for f, sub in enumerate(sub_images):
+                for i, full in enumerate(self._scale_masks):
+                    facet_scale_masks[f, i, : sub.height, : sub.width] = (
+                        full[
+                            sub.y : sub.y + sub.height,
+                            sub.x : sub.x + sub.width,
+                        ]
+                        & sub.mask
+                    )
 
         starts = _np.asarray(
             [self.algorithms[s.index].iteration_number for s in sub_images],
@@ -398,7 +440,7 @@ class ParallelDeconvolution:
         )
 
         # Phase 1: peak-only pass (max-reduce over facets).
-        _, _, peak_results, _ = alg.execute_batched_facets(
+        _, _, peak_results, _, _, _ = alg.execute_batched_facets(
             res_stack,
             mdl_stack,
             psfs,
@@ -409,6 +451,8 @@ class ParallelDeconvolution:
             starts,
             True,
             data_image.meta,
+            facet_psf_slot=facet_psf_slot,
+            facet_scale_masks=facet_scale_masks,
         )
         start_peak_value = 0.0
         for f, sub in enumerate(sub_images):
@@ -419,22 +463,41 @@ class ParallelDeconvolution:
         m_iter_threshold = start_peak_value * (1.0 - major_loop_gain)
 
         # Phase 2: clean every facet to the shared threshold.
-        new_res, new_mdl, results, iters = alg.execute_batched_facets(
-            res_stack,
-            mdl_stack,
-            psfs,
-            boxes,
-            masks,
-            rms_stack,
-            m_iter_threshold,
-            starts,
-            False,
-            data_image.meta,
+        new_res, new_mdl, results, iters, mask_acc, comp_acc = (
+            alg.execute_batched_facets(
+                res_stack,
+                mdl_stack,
+                psfs,
+                boxes,
+                masks,
+                rms_stack,
+                m_iter_threshold,
+                starts,
+                False,
+                data_image.meta,
+                facet_psf_slot=facet_psf_slot,
+                facet_scale_masks=facet_scale_masks,
+            )
         )
 
         result_model = model_image.clone_shape(width, height)
         data = data_image.data
         model_acc = result_model.data
+        save_components = (
+            self.settings.save_source_list
+            and self.settings.algorithm_type == AlgorithmType.MULTISCALE
+        )
+        mask_acc_h = _np.asarray(mask_acc) if track_masks else None
+        comp_acc_h = _np.asarray(comp_acc) if save_components else None
+        if track_masks and not self._scale_masks:
+            self._scale_masks = [
+                _np.zeros((height, width), dtype=bool)
+                for _ in range(n_scales)
+            ]
+        if save_components and self._component_list is None:
+            self._component_list = ComponentList(
+                width, height, n_scales, N
+            )
         for f, sub in enumerate(sub_images):
             r = results[f]
             sub.peak = r.final_peak_value
@@ -464,6 +527,30 @@ class ParallelDeconvolution:
                     )
                 )
                 facet_model = new_mdl[f, :, :sh, :sw]
+                if track_masks:
+                    # Boundary-merged per-scale mask union, as the serial
+                    # path's _store_scale_masks_from.
+                    for i in range(min(n_scales, mask_acc_h.shape[1])):
+                        local = mask_acc_h[f, i, :sh, :sw]
+                        if facet_scale_masks is not None:
+                            local = local | facet_scale_masks[f, i, :sh, :sw]
+                        box = self._scale_masks[i][
+                            sub.y : sub.y + sh, sub.x : sub.x + sw
+                        ]
+                        self._scale_masks[i][
+                            sub.y : sub.y + sh, sub.x : sub.x + sw
+                        ] = _np.where(sub.boundary_mask, local, box)
+                if save_components:
+                    for i in range(min(n_scales, comp_acc_h.shape[1])):
+                        comp = comp_acc_h[f, i, :, :sh, :sw]
+                        ys, xs = _np.nonzero(_np.any(comp != 0.0, axis=0))
+                        for j in range(xs.size):
+                            self._component_list.add(
+                                int(xs[j]) + sub.x,
+                                int(ys[j]) + sub.y,
+                                i,
+                                comp[:, ys[j], xs[j]],
+                            )
             else:
                 # Rollback: keep the pre-iteration model for this facet
                 # (parallel_deconvolution.cc:398-419).

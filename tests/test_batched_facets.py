@@ -94,3 +94,146 @@ def test_batched_facets_with_local_rms(monkeypatch):
     res_b, mdl_b, _, _ = _run(True, monkeypatch, with_rms=True)
     np.testing.assert_allclose(res_b, res_s, atol=3e-5)
     np.testing.assert_allclose(mdl_b, mdl_s, atol=3e-5)
+
+
+def _run_automask(batched, monkeypatch):
+    """Auto-mask + source-list faceted run (the production configuration
+    that previously forced the serial loop)."""
+    if batched:
+        monkeypatch.delenv("RADLER_TPU_NO_BATCHED_FACETS", raising=False)
+    else:
+        monkeypatch.setenv("RADLER_TPU_NO_BATCHED_FACETS", "1")
+    size = 128
+    pixel_scale = 1.0 / 60.0 * (np.pi / 180.0)
+    psf = _gaussian_psf(size)
+    residual = _sky_residual(size, psf)
+    model = np.zeros_like(residual)
+    s = rd.Settings()
+    s.trimmed_image_width = size
+    s.trimmed_image_height = size
+    s.pixel_scale.x = pixel_scale
+    s.pixel_scale.y = pixel_scale
+    s.algorithm_type = rd.AlgorithmType.MULTISCALE
+    s.minor_iteration_count = 600
+    s.multiscale.max_scales = 3
+    s.parallel.grid_width = 2
+    s.parallel.grid_height = 2
+    s.auto_mask_sigma = 4.0
+    s.save_source_list = True
+    r = rd.Radler(s, psf, residual, model, 0.0)
+    again = True
+    major = 0
+    while again and major < 4:
+        again = r.perform(major)
+        major += 1
+    comp_list = r.get_component_list()
+    counts = [
+        comp_list.component_count(sc) for sc in range(comp_list.n_scales)
+    ]
+    scale_masks = [m.copy() for m in r._parallel._scale_masks]
+    return residual, model, r.iteration_number, counts, scale_masks
+
+
+def test_batched_facets_with_automask_and_source_list(monkeypatch):
+    """Per-scale auto-masks and component lists ride the batched path
+    (previously excluded by _can_batch_facets).
+
+    Exact pixel parity is not achievable here: the serial loop runs each
+    facet at its true box size while the batched program pads facets to a
+    common box, so convolution FFT sizes differ and near-tied argmax picks
+    can land a pixel apart.  The contract is behavioral equivalence: same
+    iteration counts, same per-scale mask population and component counts,
+    same cleaning depth, near-total mask overlap."""
+    res_s, mdl_s, it_s, nc_s, masks_s = _run_automask(False, monkeypatch)
+    res_b, mdl_b, it_b, nc_b, masks_b = _run_automask(True, monkeypatch)
+    assert mdl_s.max() > 0
+    assert it_b == it_s
+    assert nc_b == nc_s
+    # Cleaning depth and recovered flux agree.
+    rms_s = float(np.sqrt(np.mean(res_s**2)))
+    rms_b = float(np.sqrt(np.mean(res_b**2)))
+    assert rms_b == pytest.approx(rms_s, rel=0.05)
+    assert float(mdl_b.sum()) == pytest.approx(float(mdl_s.sum()), rel=0.02)
+    # Per-scale masks: identical population, >95% positional overlap.
+    assert len(masks_b) == len(masks_s)
+    for mb, ms_ in zip(masks_b, masks_s):
+        assert mb.sum() == ms_.sum()
+        if ms_.sum():
+            overlap = np.logical_and(mb, ms_).sum() / ms_.sum()
+            assert overlap > 0.95
+
+
+def _run_dd_psfs(batched, monkeypatch):
+    """2x2 facets with per-facet direction-dependent PSFs of different
+    widths (per-facet bias/gain banks in the batched path)."""
+    from radler_tpu.work_table import (
+        LoadAndStoreImageAccessor,
+        LoadOnlyImageAccessor,
+        PsfOffset,
+        WorkTable,
+        WorkTableEntry,
+    )
+
+    if batched:
+        monkeypatch.delenv("RADLER_TPU_NO_BATCHED_FACETS", raising=False)
+    else:
+        monkeypatch.setenv("RADLER_TPU_NO_BATCHED_FACETS", "1")
+    size = 128
+    psf_narrow = _gaussian_psf(size, sigma=1.8)
+    psf_wide = _gaussian_psf(size, sigma=2.6)
+    residual = _sky_residual(size, psf_narrow)
+    model = np.zeros_like(residual)
+    s = rd.Settings()
+    s.trimmed_image_width = size
+    s.trimmed_image_height = size
+    s.algorithm_type = rd.AlgorithmType.MULTISCALE
+    s.minor_iteration_count = 300
+    s.absolute_threshold = 5e-3
+    s.major_loop_gain = 0.8
+    s.multiscale.max_scales = 3
+    s.parallel.grid_width = 2
+    s.parallel.grid_height = 2
+
+    offsets = []
+    accessors = []
+    for gy in range(2):
+        for gx in range(2):
+            offsets.append(PsfOffset(gx * 64 + 32, gy * 64 + 32))
+            accessors.append(
+                LoadOnlyImageAccessor(
+                    psf_wide if (gx + gy) % 2 else psf_narrow
+                )
+            )
+    table = WorkTable(offsets, 1, 1)
+    entry = WorkTableEntry()
+    entry.polarization = rd.Polarization.STOKES_I
+    entry.image_weight = 1.0
+    entry.psf_accessors = accessors
+    entry.residual_accessor = LoadAndStoreImageAccessor(residual)
+    entry.model_accessor = LoadAndStoreImageAccessor(model)
+    table.add_entry(entry)
+    r = rd.Radler(s, table, beam_size=0.0)
+    r.perform(0)
+    return residual, model, r.iteration_number
+
+
+def test_batched_facets_with_dd_psfs(monkeypatch):
+    """Direction-dependent PSFs ride the batched path via per-unique-PSF
+    banks.  The Dijkstra split gives unequal facet boxes, so the serial
+    loop (true box size) and the batched program (common padded box) use
+    different convolution FFT sizes — near-tied picks can shift a pixel.
+    The contract is behavioral equivalence: same iteration count, same
+    cleaning depth and recovered flux."""
+    res_s, mdl_s, it_s = _run_dd_psfs(False, monkeypatch)
+    res_b, mdl_b, it_b = _run_dd_psfs(True, monkeypatch)
+    assert mdl_s.max() > 0
+    assert it_b == it_s
+    rms_s = float(np.sqrt(np.mean(res_s**2)))
+    rms_b = float(np.sqrt(np.mean(res_b**2)))
+    assert rms_b == pytest.approx(rms_s, rel=0.05)
+    assert float(mdl_b.sum()) == pytest.approx(float(mdl_s.sum()), rel=0.05)
+    # Models agree where components did not shift; total mismatch energy is
+    # a small fraction of the recovered flux.
+    assert float(np.abs(mdl_b - mdl_s).sum()) < 0.12 * float(
+        np.abs(mdl_s).sum()
+    )

@@ -130,6 +130,78 @@ def _hogbom_loop(
     return res, mod, it, value, found, diverging
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "meta",
+        "allow_negative",
+        "stop_on_negative",
+        "fitter",
+        "use_rms",
+    ),
+)
+def _facet_hogbom_program(
+    residual: jnp.ndarray,  # [N, H, W]
+    model: jnp.ndarray,  # [N, H, W]
+    psfs: jnp.ndarray,  # [C, H, W] at the facet canvas size
+    rms_factor: jnp.ndarray,  # [H, W]
+    valid_mask: jnp.ndarray,  # [H, W] bool: border window ∧ facet mask
+    threshold: jnp.ndarray,
+    major_iteration_threshold: jnp.ndarray,
+    major_loop_gain: jnp.ndarray,
+    gain: jnp.ndarray,
+    divergence_limit: jnp.ndarray,
+    start_iteration: jnp.ndarray,
+    max_iterations: jnp.ndarray,
+    *,
+    meta: CubeMeta,
+    allow_negative: bool,
+    stop_on_negative: bool,
+    fitter,
+    use_rms: bool,
+):
+    """One facet's full generic-clean pass, fully on device: initial peak,
+    per-facet threshold logic (``generic_clean.cc:100-112``), and the dense
+    Högbom while-loop.  vmapped over the facet axis by
+    :meth:`GenericClean.execute_batched_facets`; the per-facet border
+    window rides ``valid_mask`` so every facet shares one compiled shape."""
+    integrated = get_square_integrated(residual, meta)
+    if use_rms:
+        integrated = integrated * rms_factor
+    pk = find_peak(integrated, allow_negative, 0, 0, valid_mask)
+    initial_abs = jnp.abs(pk.value)
+    m_thr = jnp.maximum(
+        major_iteration_threshold, initial_abs * (1.0 - major_loop_gain)
+    )
+    first_threshold = jnp.maximum(threshold, m_thr)
+    res, mod, it, value, found, diverging = _hogbom_loop(
+        residual,
+        model,
+        psfs,
+        rms_factor,
+        valid_mask,
+        pk.value,
+        pk.x,
+        pk.y,
+        pk.found,
+        first_threshold,
+        gain,
+        initial_abs,
+        divergence_limit,
+        start_iteration,
+        max_iterations,
+        meta=meta,
+        allow_negative=allow_negative,
+        stop_on_negative=stop_on_negative,
+        fitter=fitter,
+        border_h=0,
+        border_v=0,
+        use_rms=use_rms,
+        use_mask=True,
+    )
+    return res, mod, it, value, found, diverging, pk.value, pk.found, m_thr
+
+
 def _choose_block_rows(height: int, width: int, n_images: int) -> int:
     """Largest row-block that keeps the fused kernel's working set (in/out
     double buffers + PSF scratch + weight block) inside ~10 MB of the 16 MB
@@ -403,6 +475,175 @@ class GenericClean(DeconvolutionAlgorithm):
             iteration_counter_at_start,
             major_iter_threshold,
         )
+
+    # -- batched facet execution ----------------------------------------
+    def batched_facets_eligible(
+        self,
+        meta: CubeMeta,
+        box_w: int,
+        box_h: int,
+        n_facets: int,
+        n_unique_psfs: int = 1,
+    ) -> bool:
+        """Whether all facets can run as one vmapped dense Högbom program
+        (the reference runs all sub-images concurrently regardless of
+        algorithm, ``parallel_deconvolution.cc:606-617``).  The dense
+        while-loop has the same semantics as the Clark subminor path —
+        both subtract the shifted PSF and stop at the same thresholds
+        (``generic_clean.cc:115-206``) — so no per-facet host state is
+        needed."""
+        import os
+
+        if os.environ.get("RADLER_TPU_NO_BATCHED_FACETS"):
+            return False
+        if self.component_optimization_algorithm != OptimizationAlgorithm.CLEAN:
+            return False
+        from ..settings import SpectralFittingMode
+
+        if (
+            self.spectral_fitter is not None
+            and self.spectral_fitter.is_active
+            and self.spectral_fitter.mode == SpectralFittingMode.FORCED_TERMS
+        ):
+            return False
+        N, C = meta.n_images, meta.n_channels
+        est = n_facets * (6 * N + C * max(n_unique_psfs, 1)) * (
+            box_h * box_w * 4
+        )
+        return est < 4e9
+
+    def execute_batched_facets(
+        self,
+        facet_residual: jnp.ndarray,  # [F, N, Hb, Wb]
+        facet_model: jnp.ndarray,  # [F, N, Hb, Wb]
+        psfs: jnp.ndarray,  # [C, Hb, Wb] shared, or [U, C, Hb, Wb] DD banks
+        facet_boxes,  # list of (sw, sh) true facet sizes, top-left placed
+        facet_masks: np.ndarray,  # [F, Hb, Wb] bool search masks
+        facet_rms: Optional[jnp.ndarray],  # [F, Hb, Wb] or None
+        major_iteration_threshold: float,
+        start_iterations: np.ndarray,  # [F] int
+        find_peak_only: bool,
+        meta: CubeMeta,
+        facet_psf_slot=None,  # [F] index into the U axis (DD PSFs)
+        facet_scale_masks=None,  # unused (multiscale-only state)
+    ):
+        """All facets' Högbom minor loops as ONE vmapped device program.
+
+        Same contract as ``MultiScaleAlgorithm.execute_batched_facets``;
+        the per-facet initial peak, major-gain threshold, and while-loop run
+        in lockstep on device (one dispatch per phase instead of one per
+        facet).  Returns ``(residual, model, results, iterations,
+        mask_dummy, comp_dummy)``.
+        """
+        from ..ops.peak_finder import window_mask
+
+        F, N, Hb, Wb = facet_residual.shape
+
+        # Per-facet search masks: border window of the TRUE facet box ANDed
+        # with the boundary/user mask (padding stays unsearchable).
+        valid = np.zeros((F, Hb, Wb), dtype=bool)
+        for f, (sw, sh) in enumerate(facet_boxes):
+            hb = int(round(sw * self.clean_border_ratio))
+            vb = int(round(sh * self.clean_border_ratio))
+            valid[f, :sh, :sw] = window_mask(sh, sw, hb, vb)
+            valid[f] &= facet_masks[f]
+
+        use_rms = facet_rms is not None
+        rms = (
+            jnp.asarray(facet_rms)
+            if use_rms
+            else jnp.ones((F, Hb, Wb), jnp.float32)
+        )
+        fit = (
+            self.spectral_fitter
+            if (
+                self.spectral_fitter is not None
+                and self.spectral_fitter.is_active
+            )
+            else None
+        )
+        per_facet_psfs = psfs.ndim == 4
+        if per_facet_psfs:
+            slot = jnp.asarray(np.asarray(facet_psf_slot, np.int32))
+            psfs_in = psfs[slot]  # [F, C, Hb, Wb]
+            psf_axis = 0
+        else:
+            psfs_in = psfs
+            psf_axis = None
+
+        starts = jnp.asarray(start_iterations, jnp.int32)
+        if find_peak_only:
+            max_iters = starts  # zero remaining iterations -> peak only
+        else:
+            max_iters = jnp.full((F,), self.max_iterations, jnp.int32)
+
+        from functools import partial as _partial
+
+        program = _partial(
+            _facet_hogbom_program,
+            meta=meta,
+            allow_negative=self.allow_negative_components,
+            stop_on_negative=self.stop_on_negative_components,
+            fitter=fit,
+            use_rms=use_rms,
+        )
+        in_axes = (0, 0, psf_axis, 0, 0, None, None, None, None, None, 0, 0)
+        inputs = [
+            facet_residual,
+            facet_model,
+            psfs_in,
+            rms,
+            jnp.asarray(valid),
+            jnp.float32(self.threshold),
+            jnp.float32(major_iteration_threshold),
+            jnp.float32(self.major_loop_gain),
+            jnp.float32(self.minor_loop_gain),
+            jnp.float32(self.divergence_limit),
+            starts,
+            max_iters,
+        ]
+        if self.device_mesh is not None and self.device_mesh.size > 1:
+            # Facet x mesh composition (parallel_deconvolution.cc:606-617
+            # farmed to ICI instead of threads).
+            from ..parallel.mesh import shard_facet_inputs
+
+            inputs = shard_facet_inputs(self.device_mesh, inputs, in_axes)
+        out = jax.vmap(program, in_axes=in_axes)(*inputs)
+        (res, mod, it, value, found, diverging, pk0_value, pk0_found,
+         m_thr) = out
+        (it_h, value_h, found_h, div_h, pk0v_h, pk0f_h, m_thr_h) = (
+            jax.device_get(
+                (it, value, found, diverging, pk0_value, pk0_found, m_thr)
+            )
+        )
+        results = []
+        for f in range(F):
+            result = DeconvolutionResult()
+            if not bool(pk0f_h[f]):
+                result.final_peak_value = 0.0
+                result.another_iteration_required = False
+                results.append(result)
+                continue
+            result.starting_peak_value = float(pk0v_h[f])
+            result.final_peak_value = float(pk0v_h[f])
+            if find_peak_only:
+                results.append(result)
+                continue
+            max_value = float(value_h[f]) if bool(found_h[f]) else None
+            saved_iter = self.iteration_number
+            self.iteration_number = int(it_h[f])
+            result = self._finish_result(
+                result,
+                bool(div_h[f]),
+                max_value,
+                int(start_iterations[f]),
+                float(m_thr_h[f]),
+            )
+            self.iteration_number = saved_iter
+            results.append(result)
+        mask_dummy = jnp.zeros((F, 1, 1, 1), bool)
+        comp_dummy = jnp.zeros((F, 1, 1, 1, 1), jnp.float32)
+        return res, mod, results, it_h, mask_dummy, comp_dummy
 
     # ------------------------------------------------------------------
     @staticmethod

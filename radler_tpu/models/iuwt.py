@@ -81,9 +81,11 @@ class _IuwtEngine:
         absolute_threshold: float,
         threshold_sigma_level: float = 4.0,
         tolerance: float = 0.75,
+        mesh=None,
     ):
         self.width = width
         self.height = height
+        self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
         self.minor_loop_gain = minor_loop_gain
         self.major_loop_gain = major_loop_gain
         self.clean_border = clean_border
@@ -101,6 +103,33 @@ class _IuwtEngine:
         # Keys: (width, height) for the peak-search window, and
         # ("sel", width, height, box, prior_is_none) for selection windows.
         self._window_cache: Dict[Tuple, jnp.ndarray] = {}
+
+    # -- mesh sharding -----------------------------------------------------
+    def _shard_rows(self, arr: jnp.ndarray, row_axis: int = 0) -> jnp.ndarray:
+        """Lay image rows over the device mesh so XLA partitions the jitted
+        IUWT programs (the à-trous decompose is separable shifts — perfectly
+        row-parallel; the CG's FFT convolutions become distributed FFTs).
+
+        The IUWT working set is mostly single-plane [H, W] images and
+        [S+1, H, W] coefficient stacks, so rows take the whole flattened
+        mesh when divisible (falling back to the "tile" axis, then to
+        leaving the array unsharded).  Ref:
+        ``iuwt_decomposition.cc:9-53`` (the reference's thread-split of the
+        same separable convolutions)."""
+        if self.mesh is None:
+            return arr
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n = arr.shape[row_axis]
+        if n % self.mesh.size == 0:
+            axes = ("chan", "tile")
+        elif n % self.mesh.shape["tile"] == 0:
+            axes = "tile"
+        else:
+            return arr
+        spec = [None] * arr.ndim
+        spec[row_axis] = axes
+        return jax.device_put(arr, NamedSharding(self.mesh, P(*spec)))
 
     # -- PSF characterization (``MeasureRMSPerScale``) -------------------
     def measure_rms_per_scale(self, psf: jnp.ndarray, end_scale: int) -> None:
@@ -203,7 +232,11 @@ class _IuwtEngine:
         20-iteration solve runs as one compiled device dispatch
         (:func:`radler_tpu.ops.iuwt.conjugate_gradient`)."""
         model, status = iuwt_ops.conjugate_gradient(
-            coeffs, mask, masked_dirty, psf_kernel_image, n_scales
+            self._shard_rows(coeffs, row_axis=1),
+            self._shard_rows(mask, row_axis=1),
+            self._shard_rows(masked_dirty),
+            self._shard_rows(psf_kernel_image),
+            n_scales,
         )
         succ_f, snr_f = np.asarray(status).tolist()
         if not bool(succ_f):
@@ -703,8 +736,14 @@ class _IuwtEngine:
         meta = dirty_set.meta
         width, height = self.width, self.height
 
-        dirty = _linear_integrated(dirty_set.data, meta)
-        psf = _integrated_psf(psfs, meta)
+        if self.mesh is not None:
+            # Row-shard the cube and every derived image over the mesh; XLA
+            # propagates the layout through decompose/stats/CG and inserts
+            # the halo exchanges and reductions.
+            dirty_set.data = self._shard_rows(dirty_set.data, row_axis=1)
+            psfs = self._shard_rows(psfs, row_axis=1)
+        dirty = self._shard_rows(_linear_integrated(dirty_set.data, meta))
+        psf = self._shard_rows(_integrated_psf(psfs, meta))
 
         max_scale = iuwt_ops.end_scale(min(width, height))
         cur_end_scale = 2
@@ -797,6 +836,7 @@ class IuwtDeconvolution(DeconvolutionAlgorithm):
             self.allow_negative_components,
             self.clean_mask,
             self.threshold,
+            mesh=self.device_mesh,
         )
         result = DeconvolutionResult()
         final_peak, another, iters = engine.perform_major_iteration(

@@ -1191,30 +1191,28 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
             track_components=self.track_components,
         )
         psf_axis = 0 if per_facet_psfs else None
-        out = jax.vmap(
-            loop,
-            in_axes=(
-                0,  # residual
-                0,  # model
-                None,  # kernel_f
-                psf_axis,  # twice_psfs
-                psf_axis,  # corr_f
-                None,  # kernel_pad_f
-                0,  # valid_stack
-                0,  # rms_factor
-                psf_axis,  # bias
-                psf_axis,  # gain_arr
-                None,  # threshold
-                None,  # major_iteration_threshold
-                None,  # major_loop_gain
-                None,  # sub_loop_gain
-                None,  # minor_loop_gain
-                None,  # divergence_limit
-                0,  # start_iteration
-                0,  # max_iterations
-                None,  # countdown0
-            ),
-        )(
+        in_axes = (
+            0,  # residual
+            0,  # model
+            None,  # kernel_f
+            psf_axis,  # twice_psfs
+            psf_axis,  # corr_f
+            None,  # kernel_pad_f
+            0,  # valid_stack
+            0,  # rms_factor
+            psf_axis,  # bias
+            psf_axis,  # gain_arr
+            None,  # threshold
+            None,  # major_iteration_threshold
+            None,  # major_loop_gain
+            None,  # sub_loop_gain
+            None,  # minor_loop_gain
+            None,  # divergence_limit
+            0,  # start_iteration
+            0,  # max_iterations
+            None,  # countdown0
+        )
+        inputs = [
             facet_residual,
             facet_model,
             kernel_f,
@@ -1234,7 +1232,16 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
             starts,
             max_iters,
             jnp.int32(max(8, S * 3 // 2)),
-        )
+        ]
+        if self.device_mesh is not None and self.device_mesh.size > 1:
+            # Facet x mesh composition: the F axis is embarrassingly
+            # parallel — shard it over the mesh so F facets on F devices
+            # cost one facet's wall time (parallel_deconvolution.cc:606-617
+            # farmed to ICI instead of threads).
+            from ..parallel.mesh import shard_facet_inputs
+
+            inputs = shard_facet_inputs(self.device_mesh, inputs, in_axes)
+        out = jax.vmap(loop, in_axes=in_axes)(*inputs)
 
         (it, peak, any_found, diverging, no_components, is_final, ncomp) = (
             jax.device_get(

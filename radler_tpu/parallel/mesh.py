@@ -196,6 +196,113 @@ def shard_multiscale_inputs(
     )
 
 
+def facet_axis_spec(mesh: Mesh, n_facets: int):
+    """Mesh axes to lay the facet axis over: the whole mesh when the facet
+    count divides it, the "tile" axis alone otherwise, or None (replicate)
+    when it divides neither.  The facet axis is embarrassingly parallel
+    (the reference's ``RecursiveFor::NestedRun`` over sub-images,
+    ``parallel_deconvolution.cc:606-617``), so F facets on F devices cost
+    one facet's wall time."""
+    if n_facets % mesh.size == 0:
+        return ("chan", "tile")
+    if n_facets % mesh.shape["tile"] == 0:
+        return "tile"
+    if n_facets % mesh.shape["chan"] == 0:
+        return "chan"
+    return None
+
+
+def shard_facet_inputs(mesh: Mesh, arrays, facet_axes):
+    """Lay batched-facet program inputs over the mesh.
+
+    ``arrays`` pairs with ``facet_axes`` (the vmap in_axes spec): entries
+    with axis 0 are sharded along the facet axis, shared banks are
+    replicated.  XLA then partitions the whole vmapped minor-loop program:
+    each device runs its own facets' while-loops, and only the lockstep
+    stop predicate (an OR over facets) crosses devices per iteration."""
+    n_facets = None
+    for arr, ax in zip(arrays, facet_axes):
+        if ax == 0:
+            n_facets = arr.shape[0]
+            break
+    spec = facet_axis_spec(mesh, n_facets) if n_facets else None
+    out = []
+    for arr, ax in zip(arrays, facet_axes):
+        if not hasattr(arr, "shape") or arr.ndim == 0:
+            out.append(arr)
+        elif ax == 0 and spec is not None:
+            out.append(
+                jax.device_put(
+                    arr, NamedSharding(mesh, P(*([spec] + [None] * (arr.ndim - 1))))
+                )
+            )
+        else:
+            out.append(jax.device_put(arr, replicated(mesh)))
+    return out
+
+
+def dryrun_large_sharded(n_devices: int, size: int = 8192, c: int = 2,
+                         p: int = 4, n_steps: int = 3) -> float:
+    """Memory-sharded large-shape proof for the config-5 scale story
+    (BASELINE.md config 5: 8192² × many channels × 4 Stokes).
+
+    The cube is constructed SHARDED via ``jax.make_array_from_callback`` —
+    each device materializes only its own [c/chan, p, size/tile, size]
+    shard, so the full cube never exists on any single device (the whole
+    point of the mesh layer at 60K²-class sizes,
+    ``/root/reference/cpp/settings.h:63-70``).  A few fully-sharded clean
+    steps then run over it (channel psum + global argmax max-reduce +
+    broadcast update riding the mesh).  Returns the final peak.
+    """
+    mesh = make_mesh(n_devices, n_channels=c)
+    sharding = cube_sharding(mesh)
+    shape = (c, p, size, size)
+
+    def make_shard(index):
+        # Per-shard synthetic residual: deterministic, cheap, non-trivial.
+        rows = np.arange(size)[index[2]]
+        cols = np.arange(size)[index[3]]
+        block = (
+            np.sin(rows[:, None] * 0.37)[None, None]
+            * np.cos(cols[None, :] * 0.23)[None, None]
+        ).astype(np.float32) * 0.01
+        chans = np.arange(c)[index[0]]
+        out = np.broadcast_to(
+            block, (len(chans), p, len(rows), len(cols))
+        ).copy()
+        # One bright source, owned by whichever shard contains the center.
+        cy, cx = size // 2, size // 4
+        if rows[0] <= cy < rows[-1] + 1 and cols[0] <= cx < cols[-1] + 1:
+            out[:, :, cy - rows[0], cx - cols[0]] = 1.0
+        return out
+
+    residual = jax.make_array_from_callback(shape, sharding, make_shard)
+    # No addressable shard holds the full cube.
+    full_elems = int(np.prod(shape))
+    for s in residual.addressable_shards:
+        assert int(np.prod(s.data.shape)) < full_elems, (
+            "cube materialized unsharded on a device"
+        )
+    model = jax.device_put(jnp.zeros(shape, jnp.float32), sharding)
+    psf = jax.device_put(
+        jnp.zeros((c, size, size), jnp.float32)
+        .at[:, size // 2, size // 2]
+        .set(1.0),
+        NamedSharding(mesh, P("chan", None, None)),
+    )
+    weights = jax.device_put(
+        jnp.full((c,), 1.0 / c, jnp.float32), replicated(mesh)
+    )
+    peak = None
+    with mesh:
+        for _ in range(n_steps):
+            residual, model, peak = sharded_clean_step(
+                residual, model, psf, weights, jnp.float32(0.5)
+            )
+        jax.block_until_ready(residual)
+    return float(peak)
+
+
 def dryrun_step(n_devices: int) -> float:
     """Compile + execute the sharded deconvolution on tiny shapes; used by
     the driver's multi-chip dry-run.
@@ -280,8 +387,9 @@ def dryrun_step(n_devices: int) -> float:
     assert np.isfinite(ms_res).all() and np.isfinite(ms_mdl).all()
     assert np.abs(ms_res).max() < ms_before, "mesh multiscale did not clean"
 
-    # Faceted multiscale: both facet phases as one vmapped program each
-    # (parallel_deconvolution.cc:582-617 pattern, batched on device).
+    # Faceted multiscale WITH the mesh: both facet phases as one vmapped
+    # program each (parallel_deconvolution.cc:582-617 pattern), the facet
+    # axis sharded over the mesh (facet x mesh composition).
     f_res = np.stack([conv * (1.0 - 0.1 * c) for c in range(C)])
     f_before = np.abs(f_res).max()
     f_mdl = np.zeros_like(f_res)
@@ -295,8 +403,59 @@ def dryrun_step(n_devices: int) -> float:
     s3.multiscale.max_scales = 2
     s3.parallel.grid_width = 2
     s3.parallel.grid_height = 2
+    s3.parallel.use_device_mesh = True
+    s3.parallel.n_devices = n_devices
     r3 = rd.Radler(s3, ms_psf, f_res, f_mdl, 0.0, frequencies=freqs)
     r3.perform(0)
     assert np.isfinite(f_res).all() and np.isfinite(f_mdl).all()
     assert np.abs(f_res).max() < f_before, "faceted multiscale did not clean"
+
+    # Faceted generic clean over the mesh (the batched Högbom facet
+    # program, F axis sharded).
+    g_res = np.stack([conv * (1.0 - 0.1 * c) for c in range(C)])
+    g_before = np.abs(g_res).max()
+    g_mdl = np.zeros_like(g_res)
+    s4 = rd.Settings()
+    s4.trimmed_image_width = W
+    s4.trimmed_image_height = H
+    s4.minor_iteration_count = 40
+    s4.absolute_threshold = 1e-3
+    s4.major_loop_gain = 0.8
+    s4.parallel.grid_width = 2
+    s4.parallel.grid_height = 2
+    s4.parallel.use_device_mesh = True
+    s4.parallel.n_devices = n_devices
+    r4 = rd.Radler(s4, ms_psf, g_res, g_mdl, 0.0, frequencies=freqs)
+    r4.perform(0)
+    assert np.isfinite(g_res).all() and np.isfinite(g_mdl).all()
+    assert np.abs(g_res).max() < g_before, "faceted generic did not clean"
+
+    # IUWT over the mesh: rows of the decompose/CG programs sharded.
+    HI = WI = 128
+    yy, xx = np.mgrid[0:HI, 0:WI]
+    gi = np.exp(
+        -((yy - HI // 2) ** 2.0 + (xx - WI // 2) ** 2.0) / (2 * 2.5**2)
+    ).astype(np.float32)
+    blob = 0.8 * np.exp(
+        -((yy - HI // 3) ** 2.0 + (xx - WI // 3) ** 2.0) / (2 * 4.0**2)
+    ).astype(np.float32)
+    i_res = np.real(
+        np.fft.ifft2(np.fft.fft2(blob) * np.fft.fft2(np.fft.ifftshift(gi)))
+    ).astype(np.float32)
+    i_before = float(np.sqrt(np.mean(i_res**2)))
+    i_mdl = np.zeros_like(i_res)
+    s5 = rd.Settings()
+    s5.trimmed_image_width = WI
+    s5.trimmed_image_height = HI
+    s5.algorithm_type = rd.AlgorithmType.IUWT
+    s5.minor_iteration_count = 3
+    s5.major_loop_gain = 0.8
+    s5.parallel.use_device_mesh = True
+    s5.parallel.n_devices = n_devices
+    r5 = rd.Radler(s5, gi, i_res, i_mdl, 0.0)
+    r5.perform(0)
+    assert np.isfinite(i_res).all() and np.isfinite(i_mdl).all()
+    assert float(np.sqrt(np.mean(i_res**2))) < i_before, (
+        "mesh IUWT did not clean"
+    )
     return float(peak)

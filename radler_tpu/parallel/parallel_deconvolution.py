@@ -305,7 +305,10 @@ class ParallelDeconvolution:
 
         if os.environ.get("RADLER_TPU_NO_BATCHED_FACETS"):
             return False
-        if self.settings.algorithm_type != AlgorithmType.MULTISCALE:
+        if self.settings.algorithm_type not in (
+            AlgorithmType.MULTISCALE,
+            AlgorithmType.GENERIC_CLEAN,
+        ):
             return False
         alg = self.algorithms[0]
         if not hasattr(alg, "batched_facets_eligible"):

@@ -237,3 +237,56 @@ def test_batched_facets_with_dd_psfs(monkeypatch):
     assert float(np.abs(mdl_b - mdl_s).sum()) < 0.12 * float(
         np.abs(mdl_s).sum()
     )
+
+
+def _run_generic(batched, monkeypatch):
+    """Generic-clean faceted run (the reference runs all sub-images
+    concurrently regardless of algorithm)."""
+    if batched:
+        monkeypatch.delenv("RADLER_TPU_NO_BATCHED_FACETS", raising=False)
+    else:
+        monkeypatch.setenv("RADLER_TPU_NO_BATCHED_FACETS", "1")
+    size = 128
+    psf = _gaussian_psf(size)
+    residual = _sky_residual(size, psf)
+    model = np.zeros_like(residual)
+    s = rd.Settings()
+    s.trimmed_image_width = size
+    s.trimmed_image_height = size
+    s.algorithm_type = rd.AlgorithmType.GENERIC_CLEAN
+    s.minor_iteration_count = 2000
+    s.absolute_threshold = 5e-3
+    s.major_loop_gain = 0.8
+    s.parallel.grid_width = 2
+    s.parallel.grid_height = 2
+    r = rd.Radler(s, psf, residual, model, 0.0)
+    more = r.perform(0)
+    return residual, model, more
+
+
+def test_batched_generic_clean_facets(monkeypatch):
+    """The batched facet program also covers GENERIC_CLEAN; the dense
+    Högbom program per facet is semantically identical to the serial
+    per-facet run (same shifted-PSF subtraction, same thresholds), so the
+    numerics must agree to fp tolerance."""
+    res_s, mdl_s, more_s = _run_generic(False, monkeypatch)
+    res_b, mdl_b, more_b = _run_generic(True, monkeypatch)
+    assert mdl_s.max() > 0
+    assert more_b == more_s
+    np.testing.assert_allclose(res_b, res_s, atol=5e-5)
+    np.testing.assert_allclose(mdl_b, mdl_s, atol=5e-5)
+
+
+def test_batched_generic_engages(monkeypatch):
+    from radler_tpu.models.generic_clean import GenericClean
+
+    calls = []
+    orig = GenericClean.execute_batched_facets
+
+    def spy(self, *a, **k):
+        calls.append(1)
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(GenericClean, "execute_batched_facets", spy)
+    _run_generic(True, monkeypatch)
+    assert len(calls) == 2  # peak-only pass + clean pass

@@ -1,0 +1,86 @@
+"""Mesh-sharded IUWT: parity vs the single-device run on 8 virtual devices.
+
+The IUWT hot path is row-parallel by construction — the à-trous decompose is
+separable 5-tap shifts (``iuwt_decomposition.cc:9-53``) and the masked CG is
+convolution stacks (``iuwt_deconvolution_algorithm.cc:326-407``).  Laying
+image rows over the ("chan", "tile") mesh lets XLA partition the jitted
+programs; the host-side flood-fill stays unsharded.
+"""
+
+import numpy as np
+import pytest
+
+import radler_tpu as rd
+
+
+def _problem(size=256, seed=5):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+    r2 = (yy - size // 2) ** 2 + (xx - size // 2) ** 2
+    psf = np.exp(-r2 / (2 * 2.5**2))
+    psf += 0.06 * np.exp(-((np.sqrt(r2) - 14.0) ** 2) / 6)
+    psf = psf.astype(np.float32)
+    sky = np.zeros((size, size), np.float32)
+    for _ in range(10):
+        cy, cx = rng.integers(size // 8, 7 * size // 8, 2)
+        s = rng.uniform(1.5, 10)
+        a = rng.uniform(0.3, 1.0)
+        m = max(1, int(4 * s))
+        y0, y1 = max(0, cy - m), min(size, cy + m)
+        x0, x1 = max(0, cx - m), min(size, cx + m)
+        sky[y0:y1, x0:x1] += a * np.exp(
+            -((yy[y0:y1, x0:x1] - cy) ** 2 + (xx[y0:y1, x0:x1] - cx) ** 2)
+            / (2 * s * s)
+        )
+    residual = np.real(
+        np.fft.ifft2(np.fft.fft2(sky) * np.fft.fft2(np.fft.ifftshift(psf)))
+    ).astype(np.float32)
+    return psf, residual
+
+
+def _run(use_mesh):
+    psf, residual = _problem()
+    size = residual.shape[0]
+    s = rd.Settings()
+    s.trimmed_image_width = size
+    s.trimmed_image_height = size
+    s.algorithm_type = rd.AlgorithmType.IUWT
+    s.minor_iteration_count = 6
+    s.major_loop_gain = 0.8
+    s.parallel.use_device_mesh = use_mesh
+    model = np.zeros_like(residual)
+    resid = residual.copy()
+    r = rd.Radler(s, psf, resid, model, 0.0)
+    r.perform(0)
+    return residual, resid, model, r.iteration_number
+
+
+@pytest.mark.slow
+def test_mesh_iuwt_matches_single_device():
+    res0, res_1, mdl_1, it_1 = _run(False)
+    _, res_m, mdl_m, it_m = _run(True)
+    # The run actually deconvolved.
+    assert float(np.sqrt(np.mean(res_1**2))) < 0.9 * float(
+        np.sqrt(np.mean(res0**2))
+    )
+    assert it_m == it_1
+    scale = max(1.0, float(np.abs(res_1).max()))
+    assert np.abs(res_m - res_1).max() / scale < 2e-5
+    assert np.abs(mdl_m - mdl_1).max() / scale < 2e-5
+
+
+def test_iuwt_engine_sharding_applied():
+    """The engine really lays rows over the mesh (not a silent no-op)."""
+    import jax
+    import jax.numpy as jnp
+    from radler_tpu.models.iuwt import _IuwtEngine
+    from radler_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8, n_channels=2)
+    eng = _IuwtEngine(
+        256, 256, 0.2, 0.8, 0.0, False, None, 0.0, mesh=mesh
+    )
+    arr = eng._shard_rows(jnp.zeros((256, 256)))
+    assert arr.sharding.spec[0] is not None
+    stack = eng._shard_rows(jnp.zeros((5, 256, 256)), row_axis=1)
+    assert stack.sharding.spec[1] is not None

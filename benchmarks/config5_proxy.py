@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Config-5 proxy: the largest faceted IQUV multiscale run that fits the
+single real chip, plus the extrapolation inputs for BASELINE.md config 5
+(8192² × 64 ch × 4 Stokes, faceted, multi-device).
+
+BASELINE.md config 5 is a 64 GB cube — it only exists sharded over a mesh
+(see ``radler_tpu/parallel/mesh.py::dryrun_large_sharded`` for the sharded-
+construction proof on 8 virtual devices).  What a single chip CAN run is the
+per-device shard workload; this script measures exactly that: a joined-
+polarization multi-channel multiscale clean with 2×2 facets through the
+WorkTable API at the largest cube that fits one chip's HBM, and prints the
+figures the config-5 extrapolation in BASELINE.md is built from.
+
+Reproduce: python benchmarks/config5_proxy.py [--size 4096 --channels 2]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+POL_FLUX = (1.0, 0.3, -0.2, 0.1)  # I, Q, U, V plane scalings
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=4096)
+    ap.add_argument("--channels", type=int, default=2)
+    ap.add_argument("--facets", type=int, default=2, help="grid width=height")
+    ap.add_argument("--iters", type=int, default=400)
+    ap.add_argument("--repeats", type=int, default=2)
+    args = ap.parse_args()
+
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+    import radler_tpu as rd
+    from radler_tpu.work_table import (
+        LoadAndStoreImageAccessor,
+        LoadOnlyImageAccessor,
+        WorkTable,
+        WorkTableEntry,
+    )
+    from bench import make_diffuse_problem
+
+    C, size = args.channels, args.size
+    pols = [
+        rd.Polarization.STOKES_I,
+        rd.Polarization.STOKES_Q,
+        rd.Polarization.STOKES_U,
+        rd.Polarization.STOKES_V,
+    ]
+    psfs, base = make_diffuse_problem(size, C)
+    cube_gb = C * len(pols) * size * size * 4 / 1e9
+    print(
+        f"[config5-proxy] cube {C}ch x {len(pols)}pol x {size}^2 = "
+        f"{cube_gb:.2f} GB, {args.facets}x{args.facets} facets",
+        flush=True,
+    )
+
+    def one_run():
+        residuals = []
+        table = WorkTable([], C, C)
+        for ch in range(C):
+            for i, pol in enumerate(pols):
+                res = (base[ch] * POL_FLUX[i]).astype(np.float32).copy()
+                mod = np.zeros_like(res)
+                residuals.append(res)
+                e = WorkTableEntry()
+                e.polarization = pol
+                e.original_channel_index = ch
+                e.image_weight = 1.0
+                e.band_start_frequency = 1.0e8 + ch * 1e7
+                e.band_end_frequency = 1.1e8 + ch * 1e7
+                if i == 0:
+                    e.psf_accessors = [LoadOnlyImageAccessor(psfs[ch])]
+                e.residual_accessor = LoadAndStoreImageAccessor(res)
+                e.model_accessor = LoadAndStoreImageAccessor(mod)
+                table.add_entry(e)
+
+        s = rd.Settings()
+        s.trimmed_image_width = size
+        s.trimmed_image_height = size
+        s.algorithm_type = rd.AlgorithmType.MULTISCALE
+        s.minor_iteration_count = args.iters
+        s.minor_loop_gain = 0.1
+        s.major_loop_gain = 0.85
+        s.squared_joins = True
+        s.parallel.grid_width = args.facets
+        s.parallel.grid_height = args.facets
+        s.spectral_fitting.mode = rd.SpectralFittingMode.POLYNOMIAL
+        s.spectral_fitting.terms = 2
+        r = rd.Radler(s, table, beam_size=0.0)
+        rms0 = float(np.sqrt(np.mean(residuals[0] ** 2)))
+        t0 = time.perf_counter()
+        r.perform(0)
+        dt = time.perf_counter() - t0
+        rms1 = float(np.sqrt(np.mean(residuals[0] ** 2)))
+        return r.iteration_number, dt, rms0, rms1
+
+    it, dt, rms0, rms1 = one_run()  # warm-up/compile
+    print(f"[config5-proxy] cold: {it} iters in {dt:.1f}s", flush=True)
+    best = min((one_run() for _ in range(args.repeats)), key=lambda r: r[1])
+    it, dt, rms0, rms1 = best
+    print(
+        f"[config5-proxy] warm: {it} minor iters in {dt:.1f}s "
+        f"({it / dt:.1f} it/s), I-rms {rms0:.4f}->{rms1:.4f}",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -16,6 +16,7 @@ Algorithm description: see the doc comment at
 from __future__ import annotations
 
 import os
+import time
 from functools import partial
 from typing import Optional, Tuple
 
@@ -44,6 +45,43 @@ _FUSED_MAX_K = int(os.environ.get("RADLER_TPU_SUBMINOR_FUSED_MAX_K", 8192))
 _FUSED_MIN_EST_FACTOR = float(
     os.environ.get("RADLER_TPU_SUBMINOR_FUSED_EST_FACTOR", 1.8)
 )
+
+# Self-calibrating gate rates: the v5e-measured defaults below seed the
+# sparse-vs-fused routing decision, and every actual run overwrites them
+# with rates measured on the LIVE backend (``_record_calibration``), so the
+# gate self-corrects on a different TPU generation or jax version instead
+# of silently mis-routing.  Values: gather_rate in matrix elements/s,
+# xla_iter_per_k in seconds per iteration per candidate, fused_iter in
+# seconds per iteration.
+_CALIBRATION = {
+    "gather_rate": None,  # measured C*K^2/dt of the matrix build
+    "xla_iter_per_k": None,  # measured dt/iters/K of the XLA while path
+    "fused_iter": None,  # measured dt/iters of the fused Pallas loop
+}
+_CALIBRATION_DEFAULTS = {
+    "gather_rate": 1.16e8,  # v5e, 2026-08-19 (BASELINE.md dead-end note)
+    "xla_iter_per_k": 31e-9,  # v5e XLA while-loop cost
+    "fused_iter": 18e-6,  # v5e fused-loop cost at K=32k (commit 06767a4)
+}
+
+
+# Shape/static combinations already executed this process: a first call's
+# wall time is dominated by compilation and must not enter the calibration.
+_SEEN_SHAPES = set()
+
+
+def _calibrated(key: str) -> float:
+    v = _CALIBRATION.get(key)
+    return v if v else _CALIBRATION_DEFAULTS[key]
+
+
+def _record_calibration(key: str, value: float) -> None:
+    """EWMA update (0.5) so one noisy run (shared-tunnel load) cannot flip
+    the gate permanently."""
+    if not np.isfinite(value) or value <= 0:
+        return
+    prev = _CALIBRATION.get(key)
+    _CALIBRATION[key] = value if prev is None else 0.5 * prev + 0.5 * value
 
 
 def _capacity_bucket(count: int, maximum: int) -> int:
@@ -426,15 +464,45 @@ class SubMinorLoop:
             return False
         if n_psf_images * cap * cap * 4 > _FUSED_MATRIX_BYTES:
             return False
-        # Amortization gate: the matrix build costs ~C*K^2/1.16e8 s and the
-        # XLA loop ~31 ns * K per iteration (both measured on a v5e), so the
-        # build breaks even at ~C*K/3.6 iterations.  The expected clean depth
-        # is est_logsum / -ln(1-gain) (see _select_candidates); require it to
-        # clear break-even with margin for estimator noise.
+        # Amortization gate, self-calibrated: the matrix build costs
+        # ~C*K^2/gather_rate seconds, each XLA-loop iteration
+        # ~xla_iter_per_k*K, each fused iteration ~fused_iter.  All three
+        # rates seed from v5e measurements and are overwritten by rates
+        # measured on the live backend as runs happen
+        # (``_record_calibration``), so the decision survives a backend or
+        # jax change.  The expected clean depth is est_logsum / -ln(1-gain)
+        # (see _select_candidates); require it to clear break-even with
+        # margin for estimator noise.
         gain = min(max(self.gain, 1e-3), 0.999)
         est_iters = self._est_logsum / -np.log1p(-gain)
-        breakeven = n_psf_images * cap / 3.6
-        return est_iters >= _FUSED_MIN_EST_FACTOR * breakeven
+        gather_rate = _calibrated("gather_rate")
+        xla_iter = _calibrated("xla_iter_per_k") * cap
+        fused_iter = _calibrated("fused_iter")
+        build_cost = n_psf_images * cap * cap / gather_rate
+        per_iter_saving = max(xla_iter - fused_iter, 0.1 * xla_iter)
+        breakeven = build_cost / per_iter_saving
+        take = est_iters >= _FUSED_MIN_EST_FACTOR * breakeven
+        from ..utils import logging as log
+
+        log.debug(
+            "subminor fused gate: K=%d C=%d est_iters=%.0f breakeven=%.0f "
+            "gather=%.3g el/s (%s) xla=%.3g s/it (%s) fused=%.3g s/it (%s) "
+            "-> %s"
+            % (
+                cap,
+                n_psf_images,
+                est_iters,
+                breakeven,
+                gather_rate,
+                "measured" if _CALIBRATION["gather_rate"] else "default",
+                xla_iter,
+                "measured" if _CALIBRATION["xla_iter_per_k"] else "default",
+                fused_iter,
+                "measured" if _CALIBRATION["fused_iter"] else "default",
+                "fused" if take else "xla",
+            )
+        )
+        return take
 
     def run(
         self,
@@ -463,11 +531,23 @@ class SubMinorLoop:
         model_k = jnp.zeros_like(residual_k)
         coef = jnp.asarray(linear_integration_coefficients(meta))
         fit = fitter if (fitter is not None and fitter.is_active) else None
+        start_iteration = self.current_iteration
+        cap = int(self._xs.shape[0])
         if self.fused_qualifies(int(twice_convolved_psfs.shape[0]), fit):
+            loop_kind = "fused"
             res_k, mod_k, it, max_val, diverging = self._run_fused(
                 residual_k, model_k, rms_k, meta, twice_convolved_psfs, fit
             )
+            loop_dt = self._last_fused_loop_dt
         else:
+            loop_kind = "xla"
+            cache_key = (
+                "xla", cap, meta.n_channels, meta.n_polarizations,
+                fit is not None,
+            )
+            warm = cache_key in _SEEN_SHAPES
+            _SEEN_SHAPES.add(cache_key)
+            t0 = time.perf_counter()
             res_k, mod_k, it, max_val, diverging = _timed(
                 "subminor:while_loop",
                 _subminor_while,
@@ -492,6 +572,9 @@ class SubMinorLoop:
                 height=self.height,
                 width=self.width,
             )
+            jax.block_until_ready(max_val)
+            # Warm runs only: a first call's wall time is compilation.
+            loop_dt = (time.perf_counter() - t0) if warm else None
         self._residual_k = res_k
         self._model_k = mod_k
         # One host transfer for all three scalars (each pull costs a full
@@ -502,6 +585,14 @@ class SubMinorLoop:
             )
         )
         self.current_iteration = int(it_f)
+        iters_done = self.current_iteration - start_iteration
+        if loop_dt is not None and iters_done > 10:
+            if loop_kind == "xla":
+                _record_calibration(
+                    "xla_iter_per_k", loop_dt / iters_done / max(cap, 1)
+                )
+            else:
+                _record_calibration("fused_iter", loop_dt / iters_done)
         return bool(div_f), float(max_f)
 
     def _run_fused(
@@ -524,6 +615,12 @@ class SubMinorLoop:
 
         _, proj = self._fused_projection(fit)
         coef = tuple(float(v) for v in linear_integration_coefficients(meta))
+        cap = int(self._xs.shape[0])
+        n_psf = int(twice_convolved_psfs.shape[0])
+        matrix_key = ("matrix", cap, n_psf)
+        matrix_warm = matrix_key in _SEEN_SHAPES
+        _SEEN_SHAPES.add(matrix_key)
+        t0 = time.perf_counter()
         matrix = _timed(
             "subminor:psf_matrix",
             build_interaction_matrix,
@@ -534,7 +631,16 @@ class SubMinorLoop:
             height=self.height,
             width=self.width,
         )
-        return _timed(
+        if matrix_warm:
+            jax.block_until_ready(matrix)
+            dt = time.perf_counter() - t0
+            _record_calibration("gather_rate", n_psf * cap * cap / dt)
+        loop_key = ("fused", cap, n_psf, meta.n_channels, proj)
+        loop_warm = loop_key in _SEEN_SHAPES
+        _SEEN_SHAPES.add(loop_key)
+        self._last_fused_loop_dt = None
+        t1 = time.perf_counter()
+        out = _timed(
             "subminor:fused_loop",
             subminor_loop_fused,
             residual_k,
@@ -556,6 +662,10 @@ class SubMinorLoop:
             use_rms=self.rms_factor_image is not None,
             interpret=interpret,
         )
+        if loop_warm:
+            jax.block_until_ready(out[3])
+            self._last_fused_loop_dt = time.perf_counter() - t1
+        return out
 
     # -- post-run ----------------------------------------------------------
     def full_model_cube(self) -> jnp.ndarray:

@@ -242,7 +242,7 @@ def shard_facet_inputs(mesh: Mesh, arrays, facet_axes):
 
 
 def dryrun_large_sharded(n_devices: int, size: int = 8192, c: int = 2,
-                         p: int = 4, n_steps: int = 3) -> float:
+                         p: int = 4, n_steps: int = 2) -> float:
     """Memory-sharded large-shape proof for the config-5 scale story
     (BASELINE.md config 5: 8192² × many channels × 4 Stokes).
 

@@ -16,7 +16,10 @@ field is synthesized with the same morphology class (bright shell +
 diffuse blobs + point sources + correlated noise).
 """
 
+import hashlib
+
 import numpy as np
+import pytest
 
 import radler_tpu as rd
 
@@ -97,3 +100,112 @@ def test_diffuse_source_functional_bounds():
     # in sky units, not dirty-beam units, so only a loose positivity bound).
     assert np.isfinite(model).all()
     assert model.max() > 0.5
+
+
+# ---------------------------------------------------------------------------
+# Frozen realistic 1024² gate.
+#
+# The 256² case above is small enough that bounds could in principle be met
+# by tuning; this gate anchors the same reference bounds
+# (``cpp/test/test_radler.cc:201-226``) on a 16x larger frozen field:
+# power-law (k^-2.5) diffuse emission + a supernova-remnant shell + 25 point
+# sources + correlated noise, deconvolved with a triple-component dirty beam
+# (core + positive ring + negative ring).  The fixture is FROZEN: the
+# generator is deterministic (PCG64 stream, stable across numpy versions per
+# NEP 19) and the sha256 of both arrays is pinned — any change to the field
+# is loud, so the gate cannot drift to fit the code.
+# ---------------------------------------------------------------------------
+
+_FROZEN_PSF_SHA = "c178933d640e02e70bd3453138db730f3e640683cc09964a4c279c18fd44059e"
+_FROZEN_DIRTY_SHA = "e7b9587d92f909c1cddf3591e69dc46ca3c0fedab9bb41e1d9b03c94e27c5fde"
+
+
+def make_frozen_case(size=1024, seed=2026):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:size, 0:size]
+    r2 = (yy - size // 2) ** 2.0 + (xx - size // 2) ** 2.0
+    psf = np.exp(-r2 / (2 * 3.0**2))
+    psf += 0.10 * np.exp(-((np.sqrt(r2) - 22.0) ** 2) / (2 * 3.0**2))
+    psf -= 0.04 * np.exp(-((np.sqrt(r2) - 11.0) ** 2) / (2 * 2.5**2))
+    psf = (psf / psf.max()).astype(np.float32)
+    ky = np.fft.fftfreq(size)[:, None]
+    kx = np.fft.rfftfreq(size)[None, :]
+    k = np.sqrt(ky * ky + kx * kx)
+    k[0, 0] = 1.0
+    spec = (k**-2.5) * np.exp(
+        2j * np.pi * rng.random((size, size // 2 + 1))
+    )
+    diffuse = np.fft.irfft2(spec, s=(size, size)).real
+    diffuse = np.maximum(diffuse - np.percentile(diffuse, 60), 0.0)
+    diffuse = (diffuse / diffuse.max()).astype(np.float32)
+    sky = 0.3 * diffuse
+    shell = np.exp(
+        -((np.sqrt((yy - 480.0) ** 2 + (xx - 520.0) ** 2) - 120.0) ** 2)
+        / (2 * 18.0**2)
+    )
+    sky += 0.7 * shell.astype(np.float32)
+    ys = rng.integers(100, size - 100, 25)
+    xs = rng.integers(100, size - 100, 25)
+    np.add.at(sky, (ys, xs), rng.uniform(1.0, 3.0, 25).astype(np.float32))
+    dirty = np.real(
+        np.fft.ifft2(np.fft.fft2(sky) * np.fft.fft2(np.fft.ifftshift(psf)))
+    ).astype(np.float32)
+    nz = np.real(
+        np.fft.ifft2(
+            np.fft.fft2(rng.standard_normal((size, size)))
+            * np.fft.fft2(np.fft.ifftshift(psf))
+        )
+    ).astype(np.float32)
+    nz *= 0.002 * np.abs(dirty).max() / nz.std()
+    return psf, (dirty + nz).astype(np.float32)
+
+
+@pytest.mark.slow
+def test_diffuse_source_1024_frozen():
+    size = 1024
+    psf, dirty = make_frozen_case(size)
+    assert hashlib.sha256(psf.tobytes()).hexdigest() == _FROZEN_PSF_SHA
+    assert hashlib.sha256(dirty.tobytes()).hexdigest() == _FROZEN_DIRTY_SHA
+
+    residual = dirty.copy()
+    model = np.zeros_like(dirty)
+    rms_dirty = float(np.sqrt((dirty**2).mean()))
+    max_dirty = float(dirty.max())
+
+    s = rd.Settings()
+    s.algorithm_type = rd.AlgorithmType.MULTISCALE
+    s.absolute_threshold = 1.0e-8
+    s.major_iteration_count = 30
+    s.trimmed_image_width = size
+    s.trimmed_image_height = size
+    s.minor_iteration_count = 1000
+    s.minor_loop_gain = 0.8
+    s.auto_mask_sigma = 4.0
+    s.pixel_scale.x = 1.0
+    s.pixel_scale.y = 1.0
+    r = rd.Radler(s, psf, residual, model, 3.0 * 2.355)
+    r.perform(0)
+
+    # The reference's exact bounds (test_radler.cc:214-226).
+    assert 100 <= r.iteration_number <= s.minor_iteration_count
+    assert float(np.sqrt((residual**2).mean())) < 0.75 * rms_dirty
+    assert float(residual.max()) < 0.1 * max_dirty
+
+    # Flux conservation — a non-tunable correctness anchor: the model
+    # convolved with the PSF (wrap-free) must equal exactly what was
+    # removed from the dirty image.
+    p2 = 2 * size
+    off = size // 2
+
+    def pad(img):
+        out = np.zeros((p2, p2), np.float32)
+        out[off : off + size, off : off + size] = img
+        return out
+
+    conv = np.real(
+        np.fft.ifft2(
+            np.fft.fft2(pad(model)) * np.fft.fft2(np.fft.ifftshift(pad(psf)))
+        )
+    )[off : off + size, off : off + size].astype(np.float32)
+    err = np.abs(conv - (dirty - residual)).max()
+    assert err < 1e-3 * max_dirty

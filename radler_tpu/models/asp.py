@@ -19,6 +19,7 @@ import math
 from typing import List
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..image_set import CubeMeta, get_integrated_psf, get_linear_integrated
@@ -67,6 +68,25 @@ class AspAlgorithm(MultiScaleAlgorithm):
             self.allow_negative_components = True
         # Masks/borders may have changed between major iterations.
         self._valid_stack_cache = None
+
+        if self.device_mesh is not None and self.device_mesh.size > 1:
+            # ASP's hot path is the scale-bank convolutions and the
+            # per-component FFT subtractions — all jitted over the cube.
+            # Row-sharding the cube at entry makes XLA partition them over
+            # the mesh (the reference's threaded per-scale search,
+            # ``threaded_deconvolution_tools.cc:30-50``).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n = self.device_mesh.shape["tile"]
+            if height % n == 0:
+                dirty_set.data = jax.device_put(
+                    dirty_set.data,
+                    NamedSharding(self.device_mesh, P(None, "tile", None)),
+                )
+                model_set.data = jax.device_put(
+                    model_set.data,
+                    NamedSharding(self.device_mesh, P(None, "tile", None)),
+                )
 
         initialize_scales(
             self.scale_infos,

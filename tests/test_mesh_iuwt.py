@@ -84,3 +84,55 @@ def test_iuwt_engine_sharding_applied():
     assert arr.sharding.spec[0] is not None
     stack = eng._shard_rows(jnp.zeros((5, 256, 256)), row_axis=1)
     assert stack.sharding.spec[1] is not None
+
+
+def _run_asp(use_mesh):
+    # ASP needs a beam-like PSF (the centred-Gaussian fit drives the scale
+    # selection); use a plain Gaussian beam rather than the ringed IUWT one.
+    size = 256
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+    r2 = (yy - size // 2) ** 2 + (xx - size // 2) ** 2
+    psf = np.exp(-r2 / (2 * 2.5**2)).astype(np.float32)
+    rng = np.random.default_rng(3)
+    sky = np.zeros((size, size), np.float32)
+    ys = rng.integers(size // 4, 3 * size // 4, 8)
+    xs = rng.integers(size // 4, 3 * size // 4, 8)
+    np.add.at(sky, (ys, xs), rng.uniform(0.5, 1.5, 8).astype(np.float32))
+    residual = np.real(
+        np.fft.ifft2(np.fft.fft2(sky) * np.fft.fft2(np.fft.ifftshift(psf)))
+    ).astype(np.float32)
+    s = rd.Settings()
+    s.trimmed_image_width = size
+    s.trimmed_image_height = size
+    s.algorithm_type = rd.AlgorithmType.ADAPTIVE_SCALE_PIXEL
+    s.minor_iteration_count = 60
+    s.major_loop_gain = 0.8
+    s.absolute_threshold = 1e-3
+    s.parallel.use_device_mesh = use_mesh
+    model = np.zeros_like(residual)
+    resid = residual.copy()
+    r = rd.Radler(s, psf, resid, model, 0.0)
+    r.perform(0)
+    return residual, resid, model, r.iteration_number
+
+
+@pytest.mark.slow
+def test_mesh_asp_matches_single_device():
+    """ASP's scale-bank convolutions and per-component subtractions ride
+    the mesh via row sharding (``asp_algorithm.cc:256-371`` semantics).
+
+    Exact parity is not expected: ASP fits a nonlinear 2-D Gaussian at
+    every peak, and the sharded reductions' float ordering perturbs the
+    fit inputs enough that later component placements diverge chaotically.
+    The contract is behavioral equivalence: same iteration count, same
+    cleaning depth, same recovered flux."""
+    res0, res_1, mdl_1, it_1 = _run_asp(False)
+    _, res_m, mdl_m, it_m = _run_asp(True)
+    assert float(np.abs(mdl_1).max()) > 0
+    assert it_m == it_1
+    rms_1 = float(np.sqrt(np.mean(res_1**2)))
+    rms_m = float(np.sqrt(np.mean(res_m**2)))
+    rms_0 = float(np.sqrt(np.mean(res0**2)))
+    assert rms_1 < 0.8 * rms_0  # the run actually deconvolved
+    assert rms_m == pytest.approx(rms_1, rel=0.05)
+    assert float(mdl_m.sum()) == pytest.approx(float(mdl_1.sum()), rel=0.05)

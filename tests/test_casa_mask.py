@@ -140,3 +140,39 @@ def test_casa_mask_through_radler(tmp_path):
     assert residual[40, 40] == pytest.approx(2.0)
     assert model[20, 24] == pytest.approx(1.0, abs=1e-4)
     assert model[40, 40] == 0.0
+
+
+def test_casa_mask_against_real_casacore(tmp_path):
+    """Ground-truth check: write a table with REAL casacore and read it with
+    the dependency-free parser.
+
+    The synthetic-fixture tests above share the author's understanding of
+    the TiledStMan layout with the parser, so a shared misunderstanding
+    would pass them.  This test breaks that loop whenever python-casacore
+    is importable (it is not in the sealed build environment, but the CI
+    test image installs it opportunistically — see .gitlab-ci.yml).
+    """
+    casacore_images = pytest.importorskip("casacore.images")
+
+    shape = [3, 2, 10, 12]  # casacore order [nchan, npol, ny, nx]
+    rng = np.random.default_rng(11)
+    data = np.zeros(shape, np.float32)
+    for _ in range(12):
+        c = rng.integers(0, shape[0])
+        p = rng.integers(0, shape[1])
+        y = rng.integers(0, shape[2])
+        x = rng.integers(0, shape[3])
+        data[c, p, y, x] = 1.0
+    path = str(tmp_path / "real.image")
+    im = casacore_images.image(path, shape=shape)
+    im.putdata(data)
+    del im  # flush
+
+    # Force the dependency-free path (the reader prefers python-casacore).
+    reader = CasaMaskReader.__new__(CasaMaskReader)
+    reader.path = path
+    reader._cube = None
+    reader._init_minimal(path)
+    mask = reader.read()
+    expected = np.any(data != 0.0, axis=(0, 1))
+    np.testing.assert_array_equal(mask, expected)

@@ -202,6 +202,18 @@ def _facet_hogbom_program(
     return res, mod, it, value, found, diverging, pk.value, pk.found, m_thr
 
 
+_ONES_PLANES = {}
+
+
+def _ones_plane(height: int, width: int) -> jnp.ndarray:
+    """Cached all-ones [H, W] plane (avoids re-uploading/every-call eager
+    ops on remote-dispatch backends)."""
+    key = (height, width)
+    if key not in _ONES_PLANES:
+        _ONES_PLANES[key] = jnp.ones((height, width), jnp.float32)
+    return _ONES_PLANES[key]
+
+
 def _choose_block_rows(height: int, width: int, n_images: int) -> int:
     """Largest row-block that keeps the fused kernel's working set (in/out
     double buffers + PSF scratch + weight block) inside ~10 MB of the 16 MB
@@ -686,17 +698,30 @@ class GenericClean(DeconvolutionAlgorithm):
             or self.clean_mask is not None
             or self.rms_factor_image is not None
         )
-        weight = jnp.asarray(
-            window_mask(height, width, hb, vb), jnp.float32
-        )
-        if self.clean_mask is not None:
-            weight = weight * jnp.asarray(self.clean_mask, jnp.float32)
-        rms = (
-            self.rms_factor_image
-            if self.rms_factor_image is not None
-            else jnp.ones((height, width), jnp.float32)
-        )
-        weight = weight * rms
+        # Build (and upload) the weight/rms planes only when used, and cache
+        # the no-op planes per shape: every eager op here is a ~40 ms round
+        # trip on remote-dispatch backends.
+        if use_weight:
+            host_weight = window_mask(height, width, hb, vb).astype(
+                np.float32
+            )
+            if self.clean_mask is not None:
+                host_weight = host_weight * np.asarray(
+                    self.clean_mask, np.float32
+                )
+            weight = jnp.asarray(host_weight)
+            rms = (
+                self.rms_factor_image
+                if self.rms_factor_image is not None
+                else None
+            )
+            if rms is not None:
+                weight = weight * rms
+            else:
+                rms = _ones_plane(height, width)
+        else:
+            weight = _ones_plane(height, width)
+            rms = weight
         per_image_psfs = psfs_padded[jnp.asarray(meta.psf_indices)]
         block_rows = _choose_block_rows(height, width, meta.n_images)
         fit = (

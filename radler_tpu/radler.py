@@ -12,9 +12,11 @@ major iteration (predict/invert round) is required
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .settings import (
@@ -31,7 +33,7 @@ from .work_table import (
     WorkTable,
     WorkTableEntry,
 )
-from .image_set import ImageSet
+from .image_set import ImageSet, get_linear_integrated
 from .component_list import ComponentList
 from .models.base import DeconvolutionAlgorithm
 from .models.generic_clean import GenericClean
@@ -57,6 +59,16 @@ def _is_device_array(array) -> bool:
     import jax
 
     return isinstance(array, jax.Array)
+
+
+@partial(jax.jit, static_argnames=("meta",))
+def _integrated_with_noise(data: jnp.ndarray, meta):
+    """Joined integration + MAD noise estimate as ONE device dispatch
+    (``cpp/radler.cc:162-169``); separate dispatches each cost a full
+    round trip on remote-dispatch backends."""
+    integrated = get_linear_integrated(data, meta)
+    median, stddev = median_and_stddev_from_mad(integrated)
+    return integrated, median, stddev
 
 
 class Radler:
@@ -314,8 +326,9 @@ class Radler:
         residual_set.load_and_average(True)
         model_set.load_and_average(False)
 
-        integrated = residual_set.get_linear_integrated()
-        median, stddev = median_and_stddev_from_mad(integrated)
+        integrated, median, stddev = _integrated_with_noise(
+            residual_set.data, residual_set.meta
+        )
         # One batched host transfer (each pull is a round trip on
         # remote-dispatch backends).
         median, stddev = np.asarray(jnp.stack([median, stddev])).tolist()

@@ -83,3 +83,45 @@ def test_mesh_multiscale_matches_single_device(monkeypatch):
     # And the run must actually have cleaned.
     base = np.abs(_diffuse_residual(128, _gaussian_psf(128))).max()
     assert np.abs(res_1).max() < 0.5 * base
+
+
+def _run_automask(use_mesh, size=128):
+    psf = _gaussian_psf(size)
+    residual = _diffuse_residual(size, psf).copy()
+    model = np.zeros_like(residual)
+    s = rd.Settings()
+    s.trimmed_image_width = size
+    s.trimmed_image_height = size
+    s.algorithm_type = rd.AlgorithmType.MULTISCALE
+    s.minor_iteration_count = 200
+    s.minor_loop_gain = 0.2
+    s.auto_mask_sigma = 4.0
+    s.multiscale.max_scales = 3
+    s.parallel.use_device_mesh = use_mesh
+    r = rd.Radler(s, psf, residual, model, 0.0)
+    again = True
+    major = 0
+    while again and major < 3:
+        again = r.perform(major)
+        major += 1
+    alg = r._parallel.algorithms[0]
+    masks = [None if m is None else np.asarray(m) for m in alg.scale_masks]
+    return residual, model, r.iteration_number, masks
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_mesh_multiscale_with_automask():
+    """The fused loop's on-device mask accumulators work under the mesh:
+    both auto-mask phases run partitioned, and the tracked per-scale masks
+    match the single-device run exactly."""
+    res_1, mdl_1, it_1, masks_1 = _run_automask(False)
+    res_m, mdl_m, it_m, masks_m = _run_automask(True)
+    assert it_1 > 0
+    assert it_m == it_1
+    np.testing.assert_allclose(res_m, res_1, atol=2e-5)
+    np.testing.assert_allclose(mdl_m, mdl_1, atol=2e-5)
+    assert len(masks_m) == len(masks_1)
+    for mm, m1 in zip(masks_m, masks_1):
+        assert (mm is None) == (m1 is None)
+        if mm is not None:
+            np.testing.assert_array_equal(mm, m1)

@@ -242,7 +242,7 @@ def shard_facet_inputs(mesh: Mesh, arrays, facet_axes):
 
 
 def dryrun_large_sharded(n_devices: int, size: int = 8192, c: int = 2,
-                         p: int = 4, n_steps: int = 2) -> float:
+                         p: int = 4, n_steps: int = 1) -> float:
     """Memory-sharded large-shape proof for the config-5 scale story
     (BASELINE.md config 5: 8192² × many channels × 4 Stokes).
 
@@ -283,12 +283,34 @@ def dryrun_large_sharded(n_devices: int, size: int = 8192, c: int = 2,
         assert int(np.prod(s.data.shape)) < full_elems, (
             "cube materialized unsharded on a device"
         )
-    model = jax.device_put(jnp.zeros(shape, jnp.float32), sharding)
-    psf = jax.device_put(
-        jnp.zeros((c, size, size), jnp.float32)
-        .at[:, size // 2, size // 2]
-        .set(1.0),
+    # Model and PSF are also constructed per shard (a full-size host array
+    # followed by device_put would both materialize the cube unsharded and
+    # dominate the dry run's wall time).
+    model = jax.make_array_from_callback(
+        shape, sharding, lambda idx: np.zeros(
+            tuple(
+                len(np.arange(shape[d])[idx[d]]) for d in range(len(shape))
+            ),
+            np.float32,
+        )
+    )
+
+    def psf_shard(index):
+        rows = np.arange(size)[index[1]]
+        cols = np.arange(size)[index[2]]
+        chans = np.arange(c)[index[0]]
+        out = np.zeros((len(chans), len(rows), len(cols)), np.float32)
+        if (
+            rows[0] <= size // 2 <= rows[-1]
+            and cols[0] <= size // 2 <= cols[-1]
+        ):
+            out[:, size // 2 - rows[0], size // 2 - cols[0]] = 1.0
+        return out
+
+    psf = jax.make_array_from_callback(
+        (c, size, size),
         NamedSharding(mesh, P("chan", None, None)),
+        psf_shard,
     )
     weights = jax.device_put(
         jnp.full((c,), 1.0 / c, jnp.float32), replicated(mesh)

@@ -30,6 +30,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=4096)
     ap.add_argument("--channels", type=int, default=2)
+    ap.add_argument(
+        "--algorithm",
+        choices=("multiscale", "generic"),
+        default="multiscale",
+        help="config 5 is 'joined-polarization multi-frequency clean'; "
+        "generic (Hogbom/Clark) is the canonical joined-pol clean and "
+        "compiles a much smaller program",
+    )
     ap.add_argument("--facets", type=int, default=2, help="grid width=height")
     ap.add_argument("--iters", type=int, default=400)
     ap.add_argument("--repeats", type=int, default=2)
@@ -90,7 +98,11 @@ def main():
         s = rd.Settings()
         s.trimmed_image_width = size
         s.trimmed_image_height = size
-        s.algorithm_type = rd.AlgorithmType.MULTISCALE
+        if args.algorithm == "multiscale":
+            s.algorithm_type = rd.AlgorithmType.MULTISCALE
+        else:
+            s.algorithm_type = rd.AlgorithmType.GENERIC_CLEAN
+            s.absolute_threshold = 5e-3
         s.minor_iteration_count = args.iters
         s.minor_loop_gain = 0.1
         s.major_loop_gain = 0.85

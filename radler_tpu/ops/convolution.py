@@ -120,9 +120,16 @@ def probe_batched_fft_accuracy(
 
 def identity_spectrum(h: int, w: int) -> jnp.ndarray:
     """Spectrum of the centered delta kernel (= flat ones) in the active
-    representation for (h, w)."""
+    representation for (h, w).
+
+    Built host-side and transferred: an eager on-device complex fill is a
+    tiny server-side compile on remote-dispatch backends and has been seen
+    failing (UNIMPLEMENTED) when the compile service is saturated; a plain
+    host->device transfer does not take that path."""
     wf = w if _matmul_fft_active(h, w) else w // 2 + 1
-    return jnp.ones((h, wf), jnp.complex64)
+    import numpy as _np
+
+    return jnp.asarray(_np.ones((h, wf), _np.complex64))
 
 
 def untrim(image: jnp.ndarray, height: int, width: int) -> jnp.ndarray:

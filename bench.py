@@ -394,53 +394,57 @@ def _run_all(args):
     def remaining():
         return budget - (time.monotonic() - t0)
 
-    # FFT-accuracy probe after the headline: its first run may compile for
-    # minutes on a remote backend and must not risk the tracked metric.
-    if remaining() > 300:
-        _run_fft_probe()
+    def run_config(name, argv, min_budget):
+        """One secondary config as a SUBPROCESS with a hard timeout: a hung
+        remote compile (seen when the compile service is saturated) must
+        not eat the whole bench run.  The child's stdout (its JSON metric
+        line) is forwarded verbatim."""
+        if remaining() < min_budget:
+            print(f"[bench] budget: skipping {name} config", file=sys.stderr)
+            return
+        import subprocess
+
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)] + argv,
+                capture_output=True,
+                text=True,
+                timeout=min(remaining() - 60, 600),
+            )
+            sys.stderr.write(proc.stderr[-2000:])
+            if proc.stdout:
+                sys.stdout.write(proc.stdout)
+                sys.stdout.flush()
+            if proc.returncode != 0:
+                print(
+                    f"[bench] {name} config exited {proc.returncode}",
+                    file=sys.stderr,
+                )
+        except subprocess.TimeoutExpired:
+            print(f"[bench] {name} config timed out", file=sys.stderr)
+        except Exception as exc:
+            print(f"[bench] {name} config failed: {exc}", file=sys.stderr)
 
     # Config 2: Clark subminor 2048² (sparse candidate-set loop).
-    if remaining() > 300:
-        try:
-            psf2, res2 = make_problem(2048, 300)
-            it2, dt2 = run_radler_tpu(psf2, res2, 5000, "clark")
-            _emit(
-                "clark_minor_loop_iterations_per_s_2048sq",
-                it2 / dt2 if dt2 > 0 else 0.0,
-                RECORDED_CPU_BASELINES["clark_2048"],
-            )
-        except Exception as exc:
-            print(f"[bench] clark config failed: {exc}", file=sys.stderr)
-    else:
-        print("[bench] budget: skipping clark config", file=sys.stderr)
-
+    run_config(
+        "clark", ["--engine", "clark", "--size", "2048"], min_budget=300
+    )
     # Config 3: multiscale 2048² x 8 channels, polynomial spectral fit.
-    if remaining() > 600:
-        try:
-            it3, dt3 = run_multiscale(2048, 8, 600)
-            _emit(
-                "multiscale_minor_loop_iterations_per_s_2048sq",
-                it3 / dt3 if dt3 > 0 else 0.0,
-                RECORDED_CPU_BASELINES["multiscale_2048x8"],
-            )
-        except Exception as exc:
-            print(f"[bench] multiscale config failed: {exc}", file=sys.stderr)
-    else:
-        print("[bench] budget: skipping multiscale config", file=sys.stderr)
-
+    run_config(
+        "multiscale",
+        ["--engine", "multiscale", "--size", "2048", "--iters", "600"],
+        min_budget=600,
+    )
     # Config 4: IUWT 4096².
-    if remaining() > 400:
-        try:
-            it4, dt4 = run_iuwt(4096, 16)
-            _emit(
-                "iuwt_minor_loop_iterations_per_s_4096sq",
-                it4 / dt4 if dt4 > 0 else 0.0,
-                RECORDED_CPU_BASELINES["iuwt_4096"],
-            )
-        except Exception as exc:
-            print(f"[bench] iuwt config failed: {exc}", file=sys.stderr)
-    else:
-        print("[bench] budget: skipping iuwt config", file=sys.stderr)
+    run_config(
+        "iuwt", ["--engine", "iuwt", "--size", "4096", "--iters", "16"],
+        min_budget=400,
+    )
+
+    # FFT-accuracy probe last: its first run may compile for minutes on a
+    # remote backend and must not risk the config metrics.
+    if remaining() > 240:
+        _run_fft_probe()
 
     # Re-emit the headline last: the driver's parsed metric stays the same
     # tracked series across rounds.

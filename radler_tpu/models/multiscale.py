@@ -738,12 +738,49 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
             est += 2 * S * N * height * width * 4
         return est < 6e9
 
+    def _correction_split(self, width: int, height: int):
+        """Partition the (ascending) scale set into a small and a large
+        correction-size bucket.
+
+        The reference pads each scale's correction FFT to its OWN
+        convolution size (``fft_size_calculations.h:39-50``); a single
+        unified size (needed for one compiled program) pays the LARGEST
+        scale's padding on every iteration — up to (3960/2250)² ≈ 3× the
+        FFT work at 2048² when small scales dominate the cleaning.  Two
+        static buckets selected by ``lax.cond`` recover most of the
+        per-scale sizing while still compiling exactly once.
+
+        Returns (split, (pa_h, pa_w), (pb_h, pb_w)): scales [0, split) use
+        the small size, [split, S) the large one; split == S means one
+        bucket."""
+        pad = self.ms_settings.convolution_padding
+        sizes = [
+            (
+                get_convolution_size(e.scale, height, pad),
+                get_convolution_size(e.scale, width, pad),
+            )
+            for e in self.scale_infos
+        ]
+        pb = sizes[-1]
+        # Largest prefix whose padded area is <= 70% of the big bucket's.
+        split = len(sizes)
+        for i, (sh, sw) in enumerate(sizes):
+            if sh * sw > 0.7 * pb[0] * pb[1]:
+                split = i
+                break
+        if split == 0 or split == len(sizes):
+            return len(sizes), pb, pb
+        pa = sizes[split - 1]
+        return split, pa, pb
+
     def _prepare_fused_banks(
         self, meta: CubeMeta, width: int, height: int, psfs: jnp.ndarray
     ):
         """Per-scale PSF/kernel banks for the fused minor loop; shared by the
         single-image path and the batched-facet path (the banks depend only
-        on the box size and the PSF, not on the residual)."""
+        on the box size and the PSF, not on the residual).  Correction
+        spectra come in two padded-size buckets (see
+        :meth:`_correction_split`)."""
         from ..ops.convolution import (
             _centered_kernel_fft,
             identity_spectrum,
@@ -762,12 +799,8 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
                 for c in range(meta.n_channels)
             ]
 
-        max_scale = max(e.scale for e in self.scale_infos)
-        ph = get_convolution_size(
-            max_scale, height, self.ms_settings.convolution_padding
-        )
-        pw = get_convolution_size(
-            max_scale, width, self.ms_settings.convolution_padding
+        split, (pa_h, pa_w), (pb_h, pb_w) = self._correction_split(
+            width, height
         )
 
         # [S, C, H, W] single- and twice-convolved PSF stacks.
@@ -788,36 +821,48 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
                 for s in range(S)
             ]
         )
-        # Correction spectra at the unified padded size (the centered-kernel
-        # convention of ops/convolution.padded_convolve).
-        corr_f = jnp.stack(
-            [
+
+        # Correction + add-back spectra per bucket (the centered-kernel
+        # convention of ops/convolution.padded_convolve); scale 0 = delta =
+        # flat spectrum.
+        def bucket_banks(indices, ph, pw):
+            corr_rows = [
                 _centered_kernel_fft(untrim(single[s], ph, pw), (ph, pw))
-                for s in range(S)
+                for s in indices
             ]
-        )
-        # Scale-kernel spectra: image size (maxima bank + residual convolve)
-        # and padded size (model add-back); scale 0 = delta = flat spectrum.
+            kpf_rows = []
+            for s in indices:
+                e = self.scale_infos[s]
+                if e.scale == 0.0:
+                    kpf_rows.append(identity_spectrum(ph, pw))
+                else:
+                    kpf_rows.append(
+                        _centered_kernel_fft(
+                            jnp.asarray(
+                                embedded_kernel(
+                                    e.scale, ph, pw, self.ms_settings.shape
+                                )
+                            ),
+                            (ph, pw),
+                        )
+                    )
+            return jnp.stack(corr_rows), jnp.stack(kpf_rows)
+
+        corr_small, kpf_small = bucket_banks(range(split), pa_h, pa_w)
+        if split < S:
+            corr_large, kpf_large = bucket_banks(range(split, S), pb_h, pb_w)
+        else:
+            # Single bucket: 1-row placeholders keep the pytree static.
+            corr_large = corr_small[:1]
+            kpf_large = kpf_small[:1]
+
         kf_rows = []
-        kpf_rows = []
         for e in self.scale_infos:
             if e.scale == 0.0:
                 kf_rows.append(identity_spectrum(height, width))
-                kpf_rows.append(identity_spectrum(ph, pw))
             else:
                 kf_rows.append(self._kernel_fft(e.scale, height, width))
-                kpf_rows.append(
-                    _centered_kernel_fft(
-                        jnp.asarray(
-                            embedded_kernel(
-                                e.scale, ph, pw, self.ms_settings.shape
-                            )
-                        ),
-                        (ph, pw),
-                    )
-                )
         kernel_f = jnp.stack(kf_rows)
-        kernel_pad_f = jnp.stack(kpf_rows)
         bias = jnp.asarray(
             [e.bias_factor for e in self.scale_infos], jnp.float32
         )
@@ -827,12 +872,15 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
         return (
             kernel_f,
             twice,
-            corr_f,
-            kernel_pad_f,
+            corr_small,
+            kpf_small,
+            corr_large,
+            kpf_large,
             bias,
             gain_arr,
-            ph,
-            pw,
+            split,
+            (pa_h, pa_w),
+            (pb_h, pb_w),
         )
 
     def _execute_fused(
@@ -849,12 +897,15 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
         (
             kernel_f,
             twice,
-            corr_f,
-            kernel_pad_f,
+            corr_small,
+            kpf_small,
+            corr_large,
+            kpf_large,
             bias,
             gain_arr,
-            ph,
-            pw,
+            split,
+            padded_small,
+            padded_large,
         ) = self._prepare_fused_banks(meta, width, height, psfs)
 
         valid_stack = self._scale_valid_stack(height, width)
@@ -895,8 +946,8 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
                 model_in,
                 kernel_f,
                 twice,
-                corr_f,
-                kernel_pad_f,
+                corr_small,
+                kpf_small,
                 valid_stack,
                 rms_factor,
             ) = shard_multiscale_inputs(
@@ -905,10 +956,15 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
                 model_in,
                 kernel_f,
                 twice,
-                corr_f,
-                kernel_pad_f,
+                corr_small,
+                kpf_small,
                 valid_stack,
                 rms_factor,
+            )
+            from ..parallel.mesh import shard_correction_banks
+
+            corr_large, kpf_large = shard_correction_banks(
+                self.device_mesh, corr_large, kpf_large
             )
             use_pallas = False
 
@@ -917,8 +973,10 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
             model_in,
             kernel_f,
             twice,
-            corr_f,
-            kernel_pad_f,
+            corr_small,
+            kpf_small,
+            corr_large,
+            kpf_large,
             valid_stack,
             rms_factor,
             bias,
@@ -939,8 +997,9 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
             use_rms=use_rms,
             use_pallas=use_pallas,
             block_rows=block_rows,
-            padded_h=ph,
-            padded_w=pw,
+            split=split,
+            padded_small=padded_small,
+            padded_large=padded_large,
             track_masks=self.track_per_scale_masks,
             track_components=self.track_components,
         )
@@ -1103,37 +1162,45 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
             # Build banks per unique PSF; the scale-kernel spectra are
             # PSF-independent (identical every call), the PSF stacks and
             # bias/gain schedules differ.
-            twice_u, corr_u, bias_u, gain_u = [], [], [], []
+            twice_u, cs_u, cl_u, bias_u, gain_u = [], [], [], [], []
             for u in range(psfs.shape[0]):
                 (
                     kernel_f,
                     twice_1,
-                    corr_1,
-                    kernel_pad_f,
+                    cs_1,
+                    kpf_small,
+                    cl_1,
+                    kpf_large,
                     bias_1,
                     gain_1,
-                    ph,
-                    pw,
+                    split,
+                    padded_small,
+                    padded_large,
                 ) = self._prepare_fused_banks(meta, Wb, Hb, psfs[u])
                 twice_u.append(twice_1)
-                corr_u.append(corr_1)
+                cs_u.append(cs_1)
+                cl_u.append(cl_1)
                 bias_u.append(bias_1)
                 gain_u.append(gain_1)
             slot = jnp.asarray(np.asarray(facet_psf_slot, np.int32))
             twice = jnp.stack(twice_u)[slot]  # [F, S, C, Hb, Wb]
-            corr_f = jnp.stack(corr_u)[slot]  # [F, S, C, PH, PWf]
+            corr_small = jnp.stack(cs_u)[slot]  # [F, split, C, PHa, ...]
+            corr_large = jnp.stack(cl_u)[slot]
             bias = jnp.stack(bias_u)[slot]  # [F, S]
             gain_arr = jnp.stack(gain_u)[slot]  # [F, S]
         else:
             (
                 kernel_f,
                 twice,
-                corr_f,
-                kernel_pad_f,
+                corr_small,
+                kpf_small,
+                corr_large,
+                kpf_large,
                 bias,
                 gain_arr,
-                ph,
-                pw,
+                split,
+                padded_small,
+                padded_large,
             ) = self._prepare_fused_banks(meta, Wb, Hb, psfs)
 
         # Per-facet searchable windows: the scale-dependent border applies
@@ -1185,8 +1252,9 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
             use_rms=use_rms,
             use_pallas=False,  # the Pallas step is single-program
             block_rows=64,
-            padded_h=ph,
-            padded_w=pw,
+            split=split,
+            padded_small=padded_small,
+            padded_large=padded_large,
             track_masks=self.track_per_scale_masks,
             track_components=self.track_components,
         )
@@ -1196,8 +1264,10 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
             0,  # model
             None,  # kernel_f
             psf_axis,  # twice_psfs
-            psf_axis,  # corr_f
-            None,  # kernel_pad_f
+            psf_axis,  # corr_small
+            None,  # kpf_small
+            psf_axis,  # corr_large
+            None,  # kpf_large
             0,  # valid_stack
             0,  # rms_factor
             psf_axis,  # bias
@@ -1217,8 +1287,10 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
             facet_model,
             kernel_f,
             twice,
-            corr_f,
-            kernel_pad_f,
+            corr_small,
+            kpf_small,
+            corr_large,
+            kpf_large,
             jnp.asarray(stacks),
             rms,
             bias,

@@ -199,8 +199,9 @@ def dense_subminor_loop(
         "use_rms",
         "use_pallas",
         "block_rows",
-        "padded_h",
-        "padded_w",
+        "split",
+        "padded_small",
+        "padded_large",
         "track_masks",
         "track_components",
     ),
@@ -210,8 +211,10 @@ def fused_multiscale_minor_loop(
     model: jnp.ndarray,  # [N, H, W]
     kernel_f: jnp.ndarray,  # [S, H, W//2+1] c64 image-size scale spectra
     twice_psfs: jnp.ndarray,  # [S, C, H, W] twice-convolved per-channel PSFs
-    corr_f: jnp.ndarray,  # [S, C, PH, PW//2+1] c64 single-convolved PSF spectra at padded size
-    kernel_pad_f: jnp.ndarray,  # [S, PH, PW//2+1] c64 scale spectra at padded size
+    corr_small: jnp.ndarray,  # [split, C, PHa, ...] c64 correction spectra
+    kpf_small: jnp.ndarray,  # [split, PHa, ...] c64 add-back spectra
+    corr_large: jnp.ndarray,  # [S-split, C, PHb, ...] (1-row dummy if unused)
+    kpf_large: jnp.ndarray,  # [S-split, PHb, ...]
     valid_stack: jnp.ndarray,  # [S, H, W] bool searchable windows
     rms_factor: jnp.ndarray,  # [H, W] (ones when unused)
     bias: jnp.ndarray,  # [S]
@@ -233,14 +236,14 @@ def fused_multiscale_minor_loop(
     use_rms: bool,
     use_pallas: bool,
     block_rows: int,
-    padded_h: int,
-    padded_w: int,
+    split: int,
+    padded_small: tuple,
+    padded_large: tuple,
     track_masks: bool = False,
     track_components: bool = False,
 ) -> FusedMultiscaleResult:
     N, H, W = residual.shape
     S = kernel_f.shape[0]
-    PH, PW = padded_h, padded_w
     lin_np = linear_integration_coefficients(meta)
     lin = jnp.asarray(lin_np)
     lin_t = tuple(float(v) for v in lin_np)
@@ -433,26 +436,63 @@ def fused_multiscale_minor_loop(
         # Residual correction with the single-convolved PSFs + model
         # add-back of the scale-convolved component image
         # (multiscale_algorithm.cc:432-461), sharing one padded forward FFT.
-        comp_p = jnp.pad(
-            comp,
-            (
-                (0, 0),
-                (PH // 2 - H // 2, PH - H - (PH // 2 - H // 2)),
-                (PW // 2 - W // 2, PW - W - (PW // 2 - W // 2)),
-            ),
+        # Two static padded-size buckets (small scales pay small FFTs, the
+        # reference's per-scale sizing, fft_size_calculations.h:39-50).
+        def correct_with(corr_bank, kpf_bank, ph, pw, s_local):
+            def apply(res, mod, comp):
+                comp_p = jnp.pad(
+                    comp,
+                    (
+                        (0, 0),
+                        (ph // 2 - H // 2, ph - H - (ph // 2 - H // 2)),
+                        (pw // 2 - W // 2, pw - W - (pw // 2 - W // 2)),
+                    ),
+                )
+                comp_f = forward_fft2(comp_p)  # [N, ph, pwf]
+                cf = jax.lax.dynamic_index_in_dim(
+                    corr_bank, s_local, 0, keepdims=False
+                )
+                cf = jnp.take(cf, psf_idx, axis=0)  # -> per-plane [N,...]
+                corr = inverse_fft2_real(comp_f * cf, (ph, pw))
+                kpf = jax.lax.dynamic_index_in_dim(
+                    kpf_bank, s_local, 0, keepdims=False
+                )
+                madd = inverse_fft2_real(comp_f * kpf[None], (ph, pw))
+                top = ph // 2 - H // 2
+                left = pw // 2 - W // 2
+                res2 = res - jax.lax.dynamic_slice(
+                    corr, (0, top, left), (N, H, W)
+                )
+                mod2 = mod + jax.lax.dynamic_slice(
+                    madd, (0, top, left), (N, H, W)
+                )
+                return res2, mod2
+
+            return apply
+
+        small_apply = correct_with(
+            corr_small, kpf_small, padded_small[0], padded_small[1], s
         )
-        comp_f = forward_fft2(comp_p)  # [N, PH, PWf]
-        cf = jax.lax.dynamic_index_in_dim(corr_f, s, 0, keepdims=False)
-        cf = jnp.take(cf, psf_idx, axis=0)  # [C,...] -> per-plane [N,...]
-        corr = inverse_fft2_real(comp_f * cf, (PH, PW))
-        kpf = jax.lax.dynamic_index_in_dim(kernel_pad_f, s, 0, keepdims=False)
-        madd = inverse_fft2_real(comp_f * kpf[None], (PH, PW))
-        top = PH // 2 - H // 2
-        left = PW // 2 - W // 2
-        res = res - jax.lax.dynamic_slice(
-            corr, (0, top, left), (N, H, W)
-        )
-        mod = mod + jax.lax.dynamic_slice(madd, (0, top, left), (N, H, W))
+        if split >= S:
+            res, mod = small_apply(res, mod, comp)
+        elif split == 0:
+            res, mod = correct_with(
+                corr_large, kpf_large, padded_large[0], padded_large[1], s
+            )(res, mod, comp)
+        else:
+            large_apply = correct_with(
+                corr_large,
+                kpf_large,
+                padded_large[0],
+                padded_large[1],
+                jnp.maximum(s - split, 0),
+            )
+            res, mod = jax.lax.cond(
+                s < split,
+                lambda args: small_apply(*args),
+                lambda args: large_apply(*args),
+                (res, mod, comp),
+            )
 
         ncomp = ncomp.at[s].add(it - it_before)
         flux = flux.at[s].add(

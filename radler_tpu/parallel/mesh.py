@@ -196,6 +196,20 @@ def shard_multiscale_inputs(
     )
 
 
+def shard_correction_banks(mesh: Mesh, corr_f: jnp.ndarray,
+                           kernel_pad_f: jnp.ndarray):
+    """Lay a correction-spectra bucket over the mesh (channel axis when
+    divisible; padded extents stay unsharded — see
+    :func:`shard_multiscale_inputs`)."""
+    n_chan = mesh.shape["chan"]
+    psf_chan_axis = "chan" if corr_f.shape[1] % n_chan == 0 else None
+    corr_f = jax.device_put(
+        corr_f, NamedSharding(mesh, P(None, psf_chan_axis, None, None))
+    )
+    kernel_pad_f = jax.device_put(kernel_pad_f, replicated(mesh))
+    return corr_f, kernel_pad_f
+
+
 def facet_axis_spec(mesh: Mesh, n_facets: int):
     """Mesh axes to lay the facet axis over: the whole mesh when the facet
     count divides it, the "tile" axis alone otherwise, or None (replicate)

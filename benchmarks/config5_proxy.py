@@ -1,7 +1,7 @@
 #!/usr/bin/env python
-"""Config-5 proxy: the largest faceted IQUV multiscale run that fits the
-single real chip, plus the extrapolation inputs for BASELINE.md config 5
-(8192² × 64 ch × 4 Stokes, faceted, multi-device).
+"""Config-5 proxy: the largest faceted IQUV joined-polarization clean that
+fits the single real chip, plus the extrapolation inputs for BASELINE.md
+config 5 (8192² × 64 ch × 4 Stokes, faceted, multi-device).
 
 BASELINE.md config 5 is a 64 GB cube — it only exists sharded over a mesh
 (see ``radler_tpu/parallel/mesh.py::dryrun_large_sharded`` for the sharded-

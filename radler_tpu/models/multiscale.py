@@ -762,6 +762,21 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
             for e in self.scale_infos
         ]
         pb = sizes[-1]
+        buckets = os.environ.get("RADLER_TPU_MS_BUCKETS")
+        if buckets is None:
+            # The axon remote-compile service has been observed hanging
+            # indefinitely on the two-bucket program (the lax.cond doubles
+            # the FFT-matmul code); a locally-compiled TPU or CPU backend
+            # handles it fine (tests prove parity).  Default accordingly.
+            try:
+                platform = jax.devices()[0].platform
+            except Exception:
+                platform = "cpu"
+            n_buckets = 1 if platform == "axon" else 2
+        else:
+            n_buckets = int(buckets)
+        if n_buckets < 2:
+            return len(sizes), pb, pb
         # Largest prefix whose padded area is <= 70% of the big bucket's.
         split = len(sizes)
         for i, (sh, sw) in enumerate(sizes):

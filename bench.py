@@ -370,38 +370,24 @@ def _single_config(args):
 def _run_all(args):
     """Default invocation: one JSON metric line per BASELINE.json config
     (1-4), the headline (dense Högbom 4096²) re-emitted as the LAST line so
-    round-over-round comparisons track the same metric.  A wall-clock
-    budget (RADLER_BENCH_BUDGET, default 2400 s) skips remaining secondary
-    configs rather than losing the whole run to a driver timeout."""
+    round-over-round comparisons track the same metric.
+
+    EVERY config — headline included — runs as a subprocess and the parent
+    never initializes a TPU client: the remote backend serializes clients,
+    so an idle parent holding the tunnel starves the children, and a hung
+    remote compile must not eat the whole bench run.  A wall-clock budget
+    (RADLER_BENCH_BUDGET, default 2400 s) skips remaining secondary configs
+    rather than losing the run to a driver timeout."""
     t0 = time.monotonic()
     budget = float(os.environ.get("RADLER_BENCH_BUDGET", "2400"))
-
-    # Headline (config 1 at the driver's scale): dense fused Högbom 4096².
-    psf, residual = make_problem(4096, 300)
-    iters, dt = run_radler_tpu(psf, residual, 5000, "dense")
-    tpu_ips = iters / dt if dt > 0 else 0.0
-    b_iters, b_dt = run_numpy_baseline(psf, residual, 100)
-    cpu_ips = b_iters / b_dt if b_dt > 0 else 0.0
-    print(
-        f"[bench] radler_tpu (dense): {iters} minor iterations in "
-        f"{dt:.3f}s ({tpu_ips:.1f} it/s) at 4096^2; numpy baseline "
-        f"{b_iters / b_dt:.1f} it/s",
-        file=sys.stderr,
-    )
-    headline = ("hogbom_minor_loop_iterations_per_s_4096sq", tpu_ips, cpu_ips)
-    _emit(*headline)
 
     def remaining():
         return budget - (time.monotonic() - t0)
 
-    def run_config(name, argv, min_budget):
-        """One secondary config as a SUBPROCESS with a hard timeout: a hung
-        remote compile (seen when the compile service is saturated) must
-        not eat the whole bench run.  The child's stdout (its JSON metric
-        line) is forwarded verbatim."""
+    def run_config(name, argv, min_budget, cap=600):
         if remaining() < min_budget:
             print(f"[bench] budget: skipping {name} config", file=sys.stderr)
-            return
+            return None
         import subprocess
 
         try:
@@ -409,7 +395,7 @@ def _run_all(args):
                 [sys.executable, os.path.abspath(__file__)] + argv,
                 capture_output=True,
                 text=True,
-                timeout=min(remaining() - 60, 600),
+                timeout=max(min(remaining() - 60, cap), 60),
             )
             sys.stderr.write(proc.stderr[-2000:])
             if proc.stdout:
@@ -420,10 +406,37 @@ def _run_all(args):
                     f"[bench] {name} config exited {proc.returncode}",
                     file=sys.stderr,
                 )
+                return None
+            return proc.stdout
         except subprocess.TimeoutExpired:
             print(f"[bench] {name} config timed out", file=sys.stderr)
         except Exception as exc:
             print(f"[bench] {name} config failed: {exc}", file=sys.stderr)
+        return None
+
+    # Headline (config 1 at the driver's scale): dense fused Högbom 4096².
+    headline_line = None
+    out = run_config(
+        "hogbom-headline",
+        ["--engine", "dense", "--size", "4096"],
+        min_budget=0,
+        cap=1500,
+    )
+    if out:
+        for line in out.splitlines():
+            if line.startswith("{"):
+                headline_line = line
+    else:
+        # Last resort: run the headline inline (the tracked metric must
+        # exist even if the subprocess path failed).
+        psf, residual = make_problem(4096, 300)
+        iters, dt = run_radler_tpu(psf, residual, 5000, "dense")
+        tpu_ips = iters / dt if dt > 0 else 0.0
+        b_iters, b_dt = run_numpy_baseline(psf, residual, 100)
+        cpu_ips = b_iters / b_dt if b_dt > 0 else 0.0
+        _emit(
+            "hogbom_minor_loop_iterations_per_s_4096sq", tpu_ips, cpu_ips
+        )
 
     # Config 2: Clark subminor 2048² (sparse candidate-set loop).
     run_config(
@@ -448,7 +461,8 @@ def _run_all(args):
 
     # Re-emit the headline last: the driver's parsed metric stays the same
     # tracked series across rounds.
-    _emit(*headline)
+    if headline_line:
+        print(headline_line, flush=True)
 
 
 def main():

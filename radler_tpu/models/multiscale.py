@@ -762,19 +762,13 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
             for e in self.scale_infos
         ]
         pb = sizes[-1]
-        buckets = os.environ.get("RADLER_TPU_MS_BUCKETS")
-        if buckets is None:
-            # The axon remote-compile service has been observed hanging
-            # indefinitely on the two-bucket program (the lax.cond doubles
-            # the FFT-matmul code); a locally-compiled TPU or CPU backend
-            # handles it fine (tests prove parity).  Default accordingly.
-            try:
-                platform = jax.devices()[0].platform
-            except Exception:
-                platform = "cpu"
-            n_buckets = 1 if platform == "axon" else 2
-        else:
-            n_buckets = int(buckets)
+        # Two buckets by default (measured +13% at 2048²x8ch on a v5e:
+        # 23.1 -> 26.2 it/s).  The axon remote-compile service compiled the
+        # two-bucket program in 256 s in a healthy window but has also been
+        # observed hanging on it when degraded; RADLER_TPU_MS_BUCKETS=1
+        # opts back out (the compiled program is cached on disk either
+        # way).
+        n_buckets = int(os.environ.get("RADLER_TPU_MS_BUCKETS", "2"))
         if n_buckets < 2:
             return len(sizes), pb, pb
         # Largest prefix whose padded area is <= 70% of the big bucket's.

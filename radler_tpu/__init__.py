@@ -18,6 +18,41 @@ Public API mirrors the reference's Python bindings (``python/pyradler.cc``)::
     another_needed = r.perform(0)
 """
 
+import os as _os
+
+
+def _enable_persistent_compilation_cache() -> None:
+    """Wire up JAX's persistent compilation cache at import time.
+
+    The hot paths are single large jitted programs (the fused multiscale
+    minor loop, the Pallas Högbom/Clark loops); on a remote-compile backend a
+    cold compile takes minutes and has been observed hanging when the compile
+    service is degraded.  Caching compiled executables on disk makes every
+    process after the first immune to that (the reference has no equivalent
+    problem: FFTW wisdom plays the same role for it,
+    ``cpp/radler.cc:114-117``).  Opt out with RADLER_TPU_NO_COMPILE_CACHE=1;
+    override the location with RADLER_TPU_COMPILE_CACHE_DIR or JAX's own
+    JAX_COMPILATION_CACHE_DIR.
+    """
+    if _os.environ.get("RADLER_TPU_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is None:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                _os.environ.get(
+                    "RADLER_TPU_COMPILE_CACHE_DIR", "/tmp/jax_cache"
+                ),
+            )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+
+_enable_persistent_compilation_cache()
+
 from .settings import (
     AlgorithmType,
     LocalRmsMethod,

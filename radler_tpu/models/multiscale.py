@@ -77,11 +77,11 @@ def _timed(name: str, fn, *args, **kwargs):
         return fn(*args, **kwargs)
     import time as _time
 
+    from ..utils.profiling import force_sync
+
     t0 = _time.perf_counter()
     out = fn(*args, **kwargs)
-    for leaf in jax.tree_util.tree_leaves(out):
-        if isinstance(leaf, jax.Array):
-            jax.block_until_ready(leaf)
+    force_sync(out)
     dt = _time.perf_counter() - t0
     _TIMER.totals[name] = _TIMER.totals.get(name, 0.0) + dt
     _TIMER.counts[name] = _TIMER.counts.get(name, 0) + 1
@@ -713,22 +713,21 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
         if not self.scale_infos:
             return False
         S = len(self.scale_infos)
-        max_scale = max(e.scale for e in self.scale_infos)
-        ph = get_convolution_size(
-            max_scale, height, self.ms_settings.convolution_padding
-        )
-        pw = get_convolution_size(
-            max_scale, width, self.ms_settings.convolution_padding
-        )
+        split, (ph, pw), (phl, pwl) = self._correction_split(width, height)
         N, C = meta.n_images, meta.n_channels
+        # The working set of the spectral-residual fused loop (see
+        # multiscale_fused.py): correction spectra are factorized into
+        # S + C planes instead of the S*C bank a naive port would hold, so
+        # 2048^2 x 8ch fits a single v5e chip comfortably.
         est = (
             2 * S * C * height * width * 4  # single + twice PSF stacks
-            + S * C * ph * pw * 8  # correction spectra (full, matmul backend)
-            + S * ph * pw * 8  # padded kernel spectra
-            + S * height * width * 8  # image-size kernel spectra
+            + (S + C) * ph * pw * 8  # kernel + PSF spectra (small bucket)
+            + (S - split + C) * phl * pwl * 8  # large bucket spectra
+            + N * ph * pw * 8  # spectral residual res_f
+            + 2 * N * ph * pw * 8  # spectral-subtract temporaries
+            + 2 * max(S, N) * ph * pw * 4  # maxima / cube inverse transients
             + S * height * width  # search windows
             + 6 * N * height * width * 4  # cube copies + padded PSF transient
-            + 4 * N * ph * pw * 8  # padded FFT temporaries
         )
         # Auto-mask / component accumulators carried through the loop
         # (tracked device-side, flushed once per major iteration).
@@ -736,23 +735,24 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
             est += S * height * width
         if self.track_components:
             est += 2 * S * N * height * width * 4
-        return est < 6e9
+        return est < 9e9
 
     def _correction_split(self, width: int, height: int):
         """Partition the (ascending) scale set into a small and a large
         correction-size bucket.
 
         The reference pads each scale's correction FFT to its OWN
-        convolution size (``fft_size_calculations.h:39-50``); a single
-        unified size (needed for one compiled program) pays the LARGEST
-        scale's padding on every iteration — up to (3960/2250)² ≈ 3× the
-        FFT work at 2048² when small scales dominate the cleaning.  Two
-        static buckets selected by ``lax.cond`` recover most of the
-        per-scale sizing while still compiling exactly once.
+        convolution size (``fft_size_calculations.h:39-50``).  The fused
+        loop's spectral residual lives at ONE unified padded size, which
+        every outer iteration's maxima refresh and subminor cube pay — so
+        that size should stay close to the smallest scale's convolution
+        size.  Scales whose own convolution size is much larger (rarely
+        selected after the first iterations) take a ``lax.cond`` branch
+        that corrects at the large padded size.
 
         Returns (split, (pa_h, pa_w), (pb_h, pb_w)): scales [0, split) use
-        the small size, [split, S) the large one; split == S means one
-        bucket."""
+        the small (unified) size, [split, S) the large one; split == S
+        means one bucket."""
         pad = self.ms_settings.convolution_padding
         sizes = [
             (
@@ -762,19 +762,17 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
             for e in self.scale_infos
         ]
         pb = sizes[-1]
-        # Two buckets by default (measured +13% at 2048²x8ch on a v5e:
-        # 23.1 -> 26.2 it/s).  The axon remote-compile service compiled the
-        # two-bucket program in 256 s in a healthy window but has also been
-        # observed hanging on it when degraded; RADLER_TPU_MS_BUCKETS=1
-        # opts back out (the compiled program is cached on disk either
-        # way).
+        # RADLER_TPU_MS_BUCKETS=1 opts out of the two-bucket lax.cond (one
+        # unified size = the largest scale's; smaller program, slower).
         n_buckets = int(os.environ.get("RADLER_TPU_MS_BUCKETS", "2"))
         if n_buckets < 2:
             return len(sizes), pb, pb
-        # Largest prefix whose padded area is <= 70% of the big bucket's.
+        # Largest prefix whose padded area stays within 30% of the smallest
+        # scale's — the per-outer-iteration tax every scale pays.
+        base = sizes[0][0] * sizes[0][1]
         split = len(sizes)
         for i, (sh, sw) in enumerate(sizes):
-            if sh * sw > 0.7 * pb[0] * pb[1]:
+            if sh * sw > 1.30 * base:
                 split = i
                 break
         if split == 0 or split == len(sizes):
@@ -787,32 +785,53 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
     ):
         """Per-scale PSF/kernel banks for the fused minor loop; shared by the
         single-image path and the batched-facet path (the banks depend only
-        on the box size and the PSF, not on the residual).  Correction
-        spectra come in two padded-size buckets (see
-        :meth:`_correction_split`)."""
-        from ..ops.convolution import (
-            _centered_kernel_fft,
-            identity_spectrum,
-            untrim,
-        )
+        on the box size and the PSF, not on the residual).
+
+        Correction spectra are FACTORIZED: the reference prepares the
+        single-convolved PSFs ``kernel_s ⊛ psf_c`` as an S x C bank
+        (``ConvolvePsfs``, ``multiscale_algorithm.cc:29-88``); spectrally
+        that product is ``kernel_f[s] * psf_f[c]``, so only S kernel planes
+        and C PSF planes are stored per padded-size bucket and the product
+        fuses into the loop's spectral subtraction (the only deviation is
+        that the factorized product is the clean linear convolution at the
+        padded size, where the reference's bank carries the image-size
+        circular wrap of kernel ⊛ psf — a tolerance-level tail difference).
+        """
+        from ..ops.convolution import centered_embed_kernel_fft
 
         S = len(self.scale_infos)
 
         # PSF banks; the integrated-PSF pass sets psf_peak/bias/gain
         # (multiscale_algorithm.cc:29-88), exactly as in the host path.
         integrated_psf = get_integrated_psf(psfs, meta)
-        convolved = [self._convolve_psfs(integrated_psf, True)]
+        convolved = [
+            _timed(
+                "bank_integrated_psfs", self._convolve_psfs, integrated_psf, True
+            )
+        ]
         if meta.n_channels > 1:
-            convolved = [
-                self._convolve_psfs(psfs[c], False)
-                for c in range(meta.n_channels)
-            ]
+            convolved = _timed(
+                "bank_channel_psfs",
+                lambda: [
+                    self._convolve_psfs(psfs[c], False)
+                    for c in range(meta.n_channels)
+                ],
+            )
 
         split, (pa_h, pa_w), (pb_h, pb_w) = self._correction_split(
             width, height
         )
 
-        # [S, C, H, W] single- and twice-convolved PSF stacks.
+        # Per-channel correction PSFs (the integrated PSF for single-channel
+        # runs, matching the host path's single_convolved_cache source).
+        corr_psfs = (
+            psfs
+            if meta.n_channels > 1
+            else integrated_psf[None]
+        )
+
+        # [S, C, H, W] twice-convolved PSF stack for the subminor's
+        # patch subtraction (image size, as in the reference).
         single = jnp.stack(
             [
                 jnp.stack(
@@ -824,54 +843,47 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
                 for s in range(S)
             ]
         )
-        twice = jnp.stack(
-            [
-                self._scale_convolve(single[s], self.scale_infos[s].scale)
-                for s in range(S)
-            ]
+        twice = _timed(
+            "bank_twice_psfs",
+            lambda: jnp.stack(
+                [
+                    self._scale_convolve(single[s], self.scale_infos[s].scale)
+                    for s in range(S)
+                ]
+            ),
         )
 
-        # Correction + add-back spectra per bucket (the centered-kernel
-        # convention of ops/convolution.padded_convolve); scale 0 = delta =
-        # flat spectrum.
-        def bucket_banks(indices, ph, pw):
-            corr_rows = [
-                _centered_kernel_fft(untrim(single[s], ph, pw), (ph, pw))
-                for s in indices
-            ]
-            kpf_rows = []
-            for s in indices:
+        def kernel_bank(indices, ph, pw):
+            # Host-side embedded kernels (scale 0 = centered delta, whose
+            # origin-rolled spectrum is exactly flat), one jitted transform.
+            rows = np.zeros((len(list(indices)), ph, pw), np.float32)
+            for i, s in enumerate(indices):
                 e = self.scale_infos[s]
                 if e.scale == 0.0:
-                    kpf_rows.append(identity_spectrum(ph, pw))
+                    rows[i, ph // 2, pw // 2] = 1.0
                 else:
-                    kpf_rows.append(
-                        _centered_kernel_fft(
-                            jnp.asarray(
-                                embedded_kernel(
-                                    e.scale, ph, pw, self.ms_settings.shape
-                                )
-                            ),
-                            (ph, pw),
-                        )
+                    rows[i] = embedded_kernel(
+                        e.scale, ph, pw, self.ms_settings.shape
                     )
-            return jnp.stack(corr_rows), jnp.stack(kpf_rows)
+            return centered_embed_kernel_fft(jnp.asarray(rows), (ph, pw))
 
-        corr_small, kpf_small = bucket_banks(range(split), pa_h, pa_w)
+        def psf_bank(ph, pw):
+            return centered_embed_kernel_fft(
+                jnp.asarray(corr_psfs), (ph, pw)
+            )
+
+        kernel_f = _timed("bank_kernel_spectra", kernel_bank, range(S), pa_h, pa_w)
+        psf_f = _timed("bank_psf_spectra", psf_bank, pa_h, pa_w)
         if split < S:
-            corr_large, kpf_large = bucket_banks(range(split, S), pb_h, pb_w)
+            kernel_f_large = _timed(
+                "bank_kernel_spectra", kernel_bank, range(split, S), pb_h, pb_w
+            )
+            psf_f_large = _timed("bank_psf_spectra", psf_bank, pb_h, pb_w)
         else:
             # Single bucket: 1-row placeholders keep the pytree static.
-            corr_large = corr_small[:1]
-            kpf_large = kpf_small[:1]
+            kernel_f_large = kernel_f[:1]
+            psf_f_large = psf_f[:1]
 
-        kf_rows = []
-        for e in self.scale_infos:
-            if e.scale == 0.0:
-                kf_rows.append(identity_spectrum(height, width))
-            else:
-                kf_rows.append(self._kernel_fft(e.scale, height, width))
-        kernel_f = jnp.stack(kf_rows)
         bias = jnp.asarray(
             [e.bias_factor for e in self.scale_infos], jnp.float32
         )
@@ -881,10 +893,9 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
         return (
             kernel_f,
             twice,
-            corr_small,
-            kpf_small,
-            corr_large,
-            kpf_large,
+            psf_f,
+            kernel_f_large,
+            psf_f_large,
             bias,
             gain_arr,
             split,
@@ -906,18 +917,26 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
         (
             kernel_f,
             twice,
-            corr_small,
-            kpf_small,
-            corr_large,
-            kpf_large,
+            psf_f,
+            kernel_f_large,
+            psf_f_large,
             bias,
             gain_arr,
             split,
             padded_small,
             padded_large,
-        ) = self._prepare_fused_banks(meta, width, height, psfs)
+        ) = _timed(
+            "fused_banks_total",
+            self._prepare_fused_banks,
+            meta,
+            width,
+            height,
+            psfs,
+        )
 
-        valid_stack = self._scale_valid_stack(height, width)
+        valid_stack = _timed(
+            "valid_stack", self._scale_valid_stack, height, width
+        )
         use_rms = self.rms_factor_image is not None
         rms_factor = (
             self.rms_factor_image
@@ -955,8 +974,9 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
                 model_in,
                 kernel_f,
                 twice,
-                corr_small,
-                kpf_small,
+                psf_f,
+                kernel_f_large,
+                psf_f_large,
                 valid_stack,
                 rms_factor,
             ) = shard_multiscale_inputs(
@@ -965,27 +985,24 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
                 model_in,
                 kernel_f,
                 twice,
-                corr_small,
-                kpf_small,
+                psf_f,
+                kernel_f_large,
+                psf_f_large,
                 valid_stack,
                 rms_factor,
             )
-            from ..parallel.mesh import shard_correction_banks
-
-            corr_large, kpf_large = shard_correction_banks(
-                self.device_mesh, corr_large, kpf_large
-            )
             use_pallas = False
 
-        out = fused_multiscale_minor_loop(
+        out = _timed(
+            "fused_minor_loop",
+            fused_multiscale_minor_loop,
             residual_in,
             model_in,
             kernel_f,
             twice,
-            corr_small,
-            kpf_small,
-            corr_large,
-            kpf_large,
+            psf_f,
+            kernel_f_large,
+            psf_f_large,
             valid_stack,
             rms_factor,
             bias,
@@ -1171,15 +1188,14 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
             # Build banks per unique PSF; the scale-kernel spectra are
             # PSF-independent (identical every call), the PSF stacks and
             # bias/gain schedules differ.
-            twice_u, cs_u, cl_u, bias_u, gain_u = [], [], [], [], []
+            twice_u, pf_u, pfl_u, bias_u, gain_u = [], [], [], [], []
             for u in range(psfs.shape[0]):
                 (
                     kernel_f,
                     twice_1,
-                    cs_1,
-                    kpf_small,
-                    cl_1,
-                    kpf_large,
+                    pf_1,
+                    kernel_f_large,
+                    pfl_1,
                     bias_1,
                     gain_1,
                     split,
@@ -1187,24 +1203,23 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
                     padded_large,
                 ) = self._prepare_fused_banks(meta, Wb, Hb, psfs[u])
                 twice_u.append(twice_1)
-                cs_u.append(cs_1)
-                cl_u.append(cl_1)
+                pf_u.append(pf_1)
+                pfl_u.append(pfl_1)
                 bias_u.append(bias_1)
                 gain_u.append(gain_1)
             slot = jnp.asarray(np.asarray(facet_psf_slot, np.int32))
             twice = jnp.stack(twice_u)[slot]  # [F, S, C, Hb, Wb]
-            corr_small = jnp.stack(cs_u)[slot]  # [F, split, C, PHa, ...]
-            corr_large = jnp.stack(cl_u)[slot]
+            psf_f = jnp.stack(pf_u)[slot]  # [F, C, PHa, ...]
+            psf_f_large = jnp.stack(pfl_u)[slot]
             bias = jnp.stack(bias_u)[slot]  # [F, S]
             gain_arr = jnp.stack(gain_u)[slot]  # [F, S]
         else:
             (
                 kernel_f,
                 twice,
-                corr_small,
-                kpf_small,
-                corr_large,
-                kpf_large,
+                psf_f,
+                kernel_f_large,
+                psf_f_large,
                 bias,
                 gain_arr,
                 split,
@@ -1273,10 +1288,9 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
             0,  # model
             None,  # kernel_f
             psf_axis,  # twice_psfs
-            psf_axis,  # corr_small
-            None,  # kpf_small
-            psf_axis,  # corr_large
-            None,  # kpf_large
+            psf_axis,  # psf_f
+            None,  # kernel_f_large
+            psf_axis,  # psf_f_large
             0,  # valid_stack
             0,  # rms_factor
             psf_axis,  # bias
@@ -1296,10 +1310,9 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
             facet_model,
             kernel_f,
             twice,
-            corr_small,
-            kpf_small,
-            corr_large,
-            kpf_large,
+            psf_f,
+            kernel_f_large,
+            psf_f_large,
             jnp.asarray(stacks),
             rms,
             bias,

@@ -1,48 +1,84 @@
-"""Fully on-device multiscale minor loop.
+"""Fully on-device multiscale minor loop with a spectral-domain residual.
 
 The host-orchestrated multiscale path (``multiscale.py``) mirrors the
 reference's control flow (``cpp/algorithms/multiscale_algorithm.cc:183-543``):
 per outer iteration it dispatches a scale-bank convolution, a sparse subminor
 loop, an FFT residual correction, and a maxima refresh — each a separate
-device dispatch with host scalar round-trips between them, and each padded
-convolution size triggering its own compilation.  On a TPU (and doubly so on
-a remote-dispatch backend) those syncs and compiles dominate.
+device dispatch with host scalar round-trips between them.  On a TPU (and
+doubly so on a remote-dispatch backend) those syncs dominate: measured at
+2048²×8ch the host path spends ~760 ms per outer iteration of which <10% is
+FFT FLOPs.
 
 This module compiles the ENTIRE minor loop — outer scale-selection loop plus
 the dense subminor loop at a fixed scale — into one ``lax.while_loop`` so a
-major iteration is a single device program with one host transfer at the end:
+major iteration is a single device program with one host transfer at the
+end.  Beyond the fusion itself, the loop is restructured around what the MXU
+matmul-FFT backend makes cheap and what HBM makes expensive:
 
-* the Clark-style candidate set becomes a *dense masked clean* over the
-  scale-convolved cube (the candidate-set restriction is an optimization,
-  not a semantic requirement: both subtract the twice-convolved PSF and stop
-  at the same threshold — see ``subminor_loop.h:17-50``);
-* on TPU the dense step is the fused Pallas kernel
-  (``ops/pallas/hogbom_step.py``) in *linear* integration mode
-  (``SubMinorModel::GetMaxComponent``, ``subminor_loop.cc:13-36``);
-* all per-scale data (kernel spectra, twice-convolved PSF stacks, residual
-  correction spectra, search windows) is precomputed into ``[S, ...]``
-  stacks indexed with ``lax.dynamic_index_in_dim`` — every outer iteration
-  has identical shapes, so the program compiles exactly once;
-* a single unified padded FFT size (``fft_size_calculations.h:39-50`` for
-  the *largest* scale) replaces the per-scale sizes, trading a few percent
-  of FFT FLOPs for one compilation instead of S.
+* **The residual cube lives in the Fourier domain** (``res_f``, one unified
+  7-smooth padded size).  The reference re-transforms the residual twice per
+  outer iteration (once for the scale-bank maxima refresh, once per-plane for
+  the subminor's scale-convolved cube) and inverse-transforms the correction
+  (``CorrectResidualDirty``, ``cpp/algorithms/subminor_loop.cc:195-218``).
+  With a spectral residual, the maxima refresh is S inverse transforms of
+  ``integ_f x kernel_f`` (no forwards: the integrated spectrum is an einsum
+  over ``res_f``), the subminor cube is N inverse transforms, and the
+  residual correction is a pure spectral multiply-subtract — the correction's
+  inverse transforms disappear entirely.  The image-domain residual inside
+  the image region is bit-identical to the trim-and-rezero dance of the
+  reference's padded convolution (the correction operator is linear in the
+  component image and independent of the residual); only the padding margin
+  accumulates the wrapped tails the reference re-zeroes, which is outside
+  the searchable windows.
+* **Correction spectra are factorized.**  The reference prepares a
+  (scale x channel) bank of single-convolved PSFs
+  (``ConvolvePsfs``, ``multiscale_algorithm.cc:29-88``); as spectra that is
+  S·C padded planes (~5.7 GB at 2048²×8ch — past HBM).  But the spectrum of
+  ``kernel_s ⊛ psf_c`` is ``kernel_f[s] * psf_f[c]``, so only S + C planes
+  are stored and the product fuses into the spectral subtraction.
+* **The component image is tracked in spectral-fit coefficient space.**
+  With polynomial fitting the per-iteration fitted peak values live in the
+  T-dimensional column space of the design matrix
+  (``fitted = design @ (fit_matrix @ values)``, see
+  ``ops/spectral_fitting.py``), so the subminor accumulates T·P coefficient
+  planes instead of C·P channel planes and the correction's forward
+  transforms shrink from N to T·P (2 instead of 8 for a 2-term fit of 8
+  channels).
+* All per-scale data (kernel spectra, twice-convolved PSF stacks, search
+  windows) is precomputed into ``[S, ...]`` stacks indexed with
+  ``lax.dynamic_index_in_dim`` — every outer iteration has identical shapes,
+  so the program compiles exactly once.
+* Two padded-size buckets: the unified ``res_f`` size serves the small
+  scales (the reference's per-scale sizing,
+  ``cpp/utils/fft_size_calculations.h:39-50``, keeps small-scale FFTs
+  cheap); rarely-selected large scales take a ``lax.cond`` branch that
+  corrects at the large padded size in image space and re-syncs ``res_f``.
 
-The fused path is used when no per-scale auto-mask tracking or component
-tracking is requested (those need host-side state between outer iterations);
-otherwise the host-orchestrated path runs.
+The dense subminor is the Clark-style candidate loop as a *dense masked
+clean* over the scale-convolved cube (the candidate-set restriction is an
+optimization, not a semantic requirement: both subtract the twice-convolved
+PSF and stop at the same threshold — see ``subminor_loop.h:17-50``); on TPU
+the dense step is the fused Pallas kernel (``ops/pallas/hogbom_step.py``) in
+*linear* integration mode (``SubMinorModel::GetMaxComponent``,
+``subminor_loop.cc:13-36``).
+
+The fused path carries per-scale auto-mask and component-list accumulators
+on device (flushed once per major iteration); the host-orchestrated path
+remains for configurations whose working set exceeds device memory.
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from ..image_set import CubeMeta, linear_integration_coefficients
-from ..ops.convolution import forward_fft2, inverse_fft2_real
+from ..ops.convolution import forward_fft2, inverse_fft2_real, trim, untrim
+from ..settings import SpectralFittingMode
 
 _FLT_MIN = np.float32(1.1754943508222875e-38)
 
@@ -63,6 +99,31 @@ class FusedMultiscaleResult(NamedTuple):
     comp_acc: jnp.ndarray  # [S, N, H, W] f32 (track_components) or dummy
 
 
+def _coefficient_basis(fitter, meta: CubeMeta) -> Optional[np.ndarray]:
+    """Expansion matrix E [N, T*P] with ``component_plane = E @ coef_planes``
+    when the fitter is a linear projection (polynomial mode), else None.
+
+    For polynomial fitting ``fitted = design @ (fit_matrix @ values)`` per
+    polarization, so accumulated fitted values live in the column space of
+    ``design`` [C, T]; plane ``n = c*P + p`` maps to coefficient plane
+    ``k = t*P + p`` with weight ``design[c, t]``.
+    """
+    if (
+        fitter is None
+        or not fitter.is_active
+        or fitter.mode != SpectralFittingMode.POLYNOMIAL
+        or fitter._design is None
+    ):
+        return None
+    C, P = meta.n_channels, meta.n_polarizations
+    design = np.asarray(fitter._design, np.float32)  # [C, T]
+    T = design.shape[1]
+    E = np.zeros((C * P, T * P), np.float32)
+    for c in range(C):
+        for p in range(P):
+            for t in range(T):
+                E[c * P + p, t * P + p] = design[c, t]
+    return E
 
 
 @partial(
@@ -105,8 +166,8 @@ def dense_subminor_loop(
     Host-orchestrated twin of the inner loop of
     :func:`fused_multiscale_minor_loop` (same semantics as the sparse
     :class:`~radler_tpu.models.subminor.SubMinorLoop`, see the module
-    docstring): used by the multiscale host path when per-scale masks or
-    component tracking require per-outer-iteration host state.  Returns
+    docstring): used by the multiscale host path when the fused program's
+    working set exceeds device memory.  Returns
     ``(conv_res, component_image, iteration, value, found, diverging)``.
     """
     N, H, W = conv_res.shape
@@ -209,12 +270,11 @@ def dense_subminor_loop(
 def fused_multiscale_minor_loop(
     residual: jnp.ndarray,  # [N, H, W]
     model: jnp.ndarray,  # [N, H, W]
-    kernel_f: jnp.ndarray,  # [S, H, W//2+1] c64 image-size scale spectra
+    kernel_f: jnp.ndarray,  # [S, PHa, ...] scale-kernel spectra @ padded_small
     twice_psfs: jnp.ndarray,  # [S, C, H, W] twice-convolved per-channel PSFs
-    corr_small: jnp.ndarray,  # [split, C, PHa, ...] c64 correction spectra
-    kpf_small: jnp.ndarray,  # [split, PHa, ...] c64 add-back spectra
-    corr_large: jnp.ndarray,  # [S-split, C, PHb, ...] (1-row dummy if unused)
-    kpf_large: jnp.ndarray,  # [S-split, PHb, ...]
+    psf_f: jnp.ndarray,  # [C, PHa, ...] single-PSF spectra @ padded_small
+    kernel_f_large: jnp.ndarray,  # [S-split, PHb, ...] (1-row dummy if unused)
+    psf_f_large: jnp.ndarray,  # [C, PHb, ...] (1-row dummy if unused)
     valid_stack: jnp.ndarray,  # [S, H, W] bool searchable windows
     rms_factor: jnp.ndarray,  # [H, W] (ones when unused)
     bias: jnp.ndarray,  # [S]
@@ -244,17 +304,45 @@ def fused_multiscale_minor_loop(
 ) -> FusedMultiscaleResult:
     N, H, W = residual.shape
     S = kernel_f.shape[0]
+    Ph, Pw = padded_small
+    PhL, PwL = padded_large
     lin_np = linear_integration_coefficients(meta)
     lin = jnp.asarray(lin_np)
     lin_t = tuple(float(v) for v in lin_np)
     psf_idx = jnp.asarray(meta.psf_indices)
     neg_inf = jnp.float32(-jnp.inf)
 
+    # Coefficient-space component tracking (see module docstring).
+    E_np = _coefficient_basis(fitter, meta)
+    if E_np is not None:
+        E = jnp.asarray(E_np)  # [N, Tn]
+        Tn = E_np.shape[1]
+        fit_m = jnp.asarray(fitter._fit_matrix, jnp.float32)  # [T, C]
+        n_terms = fit_m.shape[0]
+
+        def expand_planes(planes):  # [Tn, ...] -> [N, ...]
+            return jnp.einsum("nk,k...->n...", E.astype(planes.dtype), planes)
+
+    else:
+        E = None
+        Tn = N
+
+        def expand_planes(planes):
+            return planes
+
+    # The residual cube in the Fourier domain at the unified padded size.
+    res_f = forward_fft2(untrim(residual, Ph, Pw))  # [N, Ph, Pwf]
+
     # ---- maxima over all scales (FindActiveScaleConvolvedMaxima) --------
-    def find_maxima(res):
-        integ = jnp.einsum("n,nhw->hw", lin, res)
-        int_f = forward_fft2(integ)
-        conv = inverse_fft2_real(int_f[None] * kernel_f, (H, W))  # [S, H, W]
+    # The scale-bank convolution runs on the padded canvas: no forward
+    # transform (the integrated spectrum is a linear combination of res_f),
+    # S inverse transforms, trim.  The padding margin carries the wrapped
+    # correction tails the reference re-zeroes; the searchable windows
+    # exclude the affected border ring (multiscale_algorithm.cc:597-603).
+    def find_maxima(res_f):
+        integ_f = jnp.einsum("n,nhw->hw", lin, res_f)
+        conv = inverse_fft2_real(integ_f[None] * kernel_f, (Ph, Pw))
+        conv = trim(conv, H, W)  # [S, H, W]
         weighted = conv * rms_factor if use_rms else conv
         cmp = jnp.abs(weighted) if allow_negative else weighted
         masked = jnp.where(valid_stack, cmp, neg_inf).reshape(S, H * W)
@@ -287,12 +375,21 @@ def fused_multiscale_minor_loop(
 
         def body(st):
             res, comp, it, value, x, y, found, _ = st
-            peak_values = res[:, y, x]
-            if fitter is not None:
-                v = peak_values.reshape(meta.n_channels, meta.n_polarizations)
-                peak_values = fitter.fit_and_evaluate(v, x, y).reshape(-1)
-            peak_values = peak_values * gain
-            comp = comp.at[:, y, x].add(peak_values)
+            vals = res[:, y, x]
+            if E is not None:
+                v = vals.reshape(meta.n_channels, meta.n_polarizations)
+                coef = fit_m @ v  # [T, P]
+                peak_values = (
+                    jnp.einsum("nk,k->n", E, coef.reshape(-1)) * gain
+                )
+                comp = comp.at[:, y, x].add(coef.reshape(-1) * gain)
+            else:
+                peak_values = vals
+                if fitter is not None:
+                    v = vals.reshape(meta.n_channels, meta.n_polarizations)
+                    peak_values = fitter.fit_and_evaluate(v, x, y).reshape(-1)
+                peak_values = peak_values * gain
+                comp = comp.at[:, y, x].add(peak_values)
             if use_pallas:
                 from ..ops.pallas.hogbom_step import fused_clean_step
 
@@ -336,7 +433,7 @@ def fused_multiscale_minor_loop(
             )
             return res, comp, it + 1, nvalue, nx, ny, nfound, div
 
-        comp0 = jnp.zeros_like(conv_res)
+        comp0 = jnp.zeros((Tn, H, W), jnp.float32)
         init = (conv_res, comp0, it0, value0, x0, y0, found0, jnp.asarray(False))
         res, comp, it, value, x, y, found, div = jax.lax.while_loop(
             cond, body, init
@@ -344,7 +441,7 @@ def fused_multiscale_minor_loop(
         return res, comp, it, value, found, div
 
     # ---- thresholds (multiscale_algorithm.cc:286-321) --------------------
-    vals0, xs0, ys0, found0 = find_maxima(residual)
+    vals0, xs0, ys0, found0 = find_maxima(res_f)
     biased0 = jnp.abs(vals0 * bias)
     s0 = jnp.argmax(biased0)  # all scales start active
     initial_peak = biased0[s0]
@@ -376,9 +473,38 @@ def fused_multiscale_minor_loop(
         else jnp.zeros((1, 1, 1, 1), jnp.float32)
     )
 
+    # ---- residual correction -------------------------------------------
+    # Small-bucket scales: pure spectral subtraction at the unified size
+    # (the spectrum of kernel_s ⊛ psf_c is kernel_f[s] * psf_f[c]).
+    def small_correct(res_f, mod, comp, s):
+        kf = jax.lax.dynamic_index_in_dim(kernel_f, s, 0, keepdims=False)
+        comp_f = forward_fft2(untrim(comp, Ph, Pw))  # [Tn, ...]
+        madd = inverse_fft2_real(comp_f * kf[None], (Ph, Pw))
+        mod = mod + expand_planes(trim(madd, H, W))
+        comp_fn = expand_planes(comp_f)  # [N, ...]
+        cfac = jnp.take(psf_f, psf_idx, axis=0)  # per-plane PSF spectra
+        res_f = res_f - comp_fn * cfac * kf[None]
+        return res_f, mod
+
+    # Large-bucket scales (rarely selected): image-space correction at the
+    # large padded size, then re-sync the spectral residual.
+    def large_correct(res_f, mod, comp, s_local):
+        kfL = jax.lax.dynamic_index_in_dim(
+            kernel_f_large, s_local, 0, keepdims=False
+        )
+        comp_fL = forward_fft2(untrim(comp, PhL, PwL))  # [Tn, ...]
+        madd = inverse_fft2_real(comp_fL * kfL[None], (PhL, PwL))
+        mod = mod + expand_planes(trim(madd, H, W))
+        comp_fLn = expand_planes(comp_fL)
+        cfacL = jnp.take(psf_f_large, psf_idx, axis=0)
+        corr = inverse_fft2_real(comp_fLn * cfacL * kfL[None], (PhL, PwL))
+        delta = trim(corr, H, W)  # [N, H, W]
+        res_f = res_f - forward_fft2(untrim(delta, Ph, Pw))
+        return res_f, mod
+
     # ---- outer loop -------------------------------------------------------
     def outer_cond(state):
-        (res, mod, it, countdown, vals, xs, ys, found, active, ncomp, flux,
+        (res_f, mod, it, countdown, vals, xs, ys, found, active, ncomp, flux,
          div, nocomp, _mask_acc, _comp_acc) = state
         s = select_scale(vals, active)
         peak_unnorm = vals[s]
@@ -390,7 +516,7 @@ def fused_multiscale_minor_loop(
         return ok & ~div & ~nocomp & any_found0
 
     def outer_body(state):
-        (res, mod, it, countdown, vals, xs, ys, found, active, ncomp, flux,
+        (res_f, mod, it, countdown, vals, xs, ys, found, active, ncomp, flux,
          div, _nocomp, mask_acc, comp_acc) = state
         s = select_scale(vals, active)
         biased_peak = jnp.abs(vals[s] * bias[s])
@@ -401,9 +527,12 @@ def fused_multiscale_minor_loop(
         first_sub = jnp.maximum(sub_gain_threshold, first_threshold)
         thr_sub = first_sub / bias[s]
 
-        # Scale-convolved residual cube (multiscale_algorithm.cc:345-354).
+        # Scale-convolved residual cube (multiscale_algorithm.cc:345-354):
+        # N inverse transforms of res_f x kernel_f[s], no forwards.
         kf = jax.lax.dynamic_index_in_dim(kernel_f, s, 0, keepdims=False)
-        conv_res = inverse_fft2_real(forward_fft2(res) * kf[None], (H, W))
+        conv_res = trim(
+            inverse_fft2_real(res_f * kf[None], (Ph, Pw)), H, W
+        )
         tp = jax.lax.dynamic_index_in_dim(twice_psfs, s, 0, keepdims=False)
         tp = jnp.take(tp, psf_idx, axis=0)  # [C,H,W] -> per-plane [N,H,W]
         psf_pad = jnp.pad(
@@ -433,71 +562,24 @@ def fused_multiscale_minor_loop(
             False,
         )
 
-        # Residual correction with the single-convolved PSFs + model
-        # add-back of the scale-convolved component image
-        # (multiscale_algorithm.cc:432-461), sharing one padded forward FFT.
-        # Two static padded-size buckets (small scales pay small FFTs, the
-        # reference's per-scale sizing, fft_size_calculations.h:39-50).
-        def correct_with(corr_bank, kpf_bank, ph, pw, s_local):
-            def apply(res, mod, comp):
-                comp_p = jnp.pad(
-                    comp,
-                    (
-                        (0, 0),
-                        (ph // 2 - H // 2, ph - H - (ph // 2 - H // 2)),
-                        (pw // 2 - W // 2, pw - W - (pw // 2 - W // 2)),
-                    ),
-                )
-                comp_f = forward_fft2(comp_p)  # [N, ph, pwf]
-                cf = jax.lax.dynamic_index_in_dim(
-                    corr_bank, s_local, 0, keepdims=False
-                )
-                cf = jnp.take(cf, psf_idx, axis=0)  # -> per-plane [N,...]
-                corr = inverse_fft2_real(comp_f * cf, (ph, pw))
-                kpf = jax.lax.dynamic_index_in_dim(
-                    kpf_bank, s_local, 0, keepdims=False
-                )
-                madd = inverse_fft2_real(comp_f * kpf[None], (ph, pw))
-                top = ph // 2 - H // 2
-                left = pw // 2 - W // 2
-                res2 = res - jax.lax.dynamic_slice(
-                    corr, (0, top, left), (N, H, W)
-                )
-                mod2 = mod + jax.lax.dynamic_slice(
-                    madd, (0, top, left), (N, H, W)
-                )
-                return res2, mod2
-
-            return apply
-
-        small_apply = correct_with(
-            corr_small, kpf_small, padded_small[0], padded_small[1], s
-        )
         if split >= S:
-            res, mod = small_apply(res, mod, comp)
+            res_f, mod = small_correct(res_f, mod, comp, s)
         elif split == 0:
-            res, mod = correct_with(
-                corr_large, kpf_large, padded_large[0], padded_large[1], s
-            )(res, mod, comp)
+            res_f, mod = large_correct(res_f, mod, comp, s)
         else:
-            large_apply = correct_with(
-                corr_large,
-                kpf_large,
-                padded_large[0],
-                padded_large[1],
-                jnp.maximum(s - split, 0),
-            )
-            res, mod = jax.lax.cond(
+            res_f, mod = jax.lax.cond(
                 s < split,
-                lambda args: small_apply(*args),
-                lambda args: large_apply(*args),
-                (res, mod, comp),
+                lambda args: small_correct(*args, s),
+                lambda args: large_correct(*args, jnp.maximum(s - split, 0)),
+                (res_f, mod, comp),
             )
 
         ncomp = ncomp.at[s].add(it - it_before)
-        flux = flux.at[s].add(
-            jnp.sum(comp) * jnp.float32(1.0)
-        )
+        if E is not None:
+            flux_add = jnp.sum(E @ jnp.sum(comp, axis=(1, 2)))
+        else:
+            flux_add = jnp.sum(comp)
+        flux = flux.at[s].add(flux_add)
         if track_masks:
             nonzero = jnp.any(comp != 0.0, axis=0)
             row = jax.lax.dynamic_index_in_dim(
@@ -511,7 +593,7 @@ def fused_multiscale_minor_loop(
                 comp_acc, s, 0, keepdims=False
             )
             comp_acc = jax.lax.dynamic_update_index_in_dim(
-                comp_acc, row + comp, s, 0
+                comp_acc, row + expand_planes(comp), s, 0
             )
 
         # Scale (de)activation uses the pre-refresh maxima
@@ -520,14 +602,14 @@ def fused_multiscale_minor_loop(
         active = (scale_ids == s) | (jnp.abs(vals * bias) > act_thr)
         # ... then every scale's maxima are refreshed (see the note in
         # multiscale.py::_find_active_scale_convolved_maxima).
-        vals, xs, ys, found = find_maxima(res)
+        vals, xs, ys, found = find_maxima(res_f)
         return (
-            res, mod, it, countdown, vals, xs, ys, found, active, ncomp,
+            res_f, mod, it, countdown, vals, xs, ys, found, active, ncomp,
             flux, div, nocomp, mask_acc, comp_acc,
         )
 
     init = (
-        residual,
+        res_f,
         model,
         start_iteration,
         countdown0,
@@ -543,15 +625,18 @@ def fused_multiscale_minor_loop(
         mask_acc0,
         comp_acc0,
     )
-    (res, mod, it, countdown, vals, xs, ys, found, active, ncomp, flux,
+    (res_f, mod, it, countdown, vals, xs, ys, found, active, ncomp, flux,
      div, nocomp, mask_acc, comp_acc) = jax.lax.while_loop(
         outer_cond, outer_body, init
     )
 
+    res_out = trim(inverse_fft2_real(res_f, (Ph, Pw)), H, W).astype(
+        residual.dtype
+    )
     s_final = select_scale(vals, active)
     final_biased = vals[s_final] * bias[s_final]
     return FusedMultiscaleResult(
-        residual=res,
+        residual=res_out,
         model=mod,
         iteration_number=it,
         final_biased_peak=final_biased,

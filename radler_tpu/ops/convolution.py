@@ -227,6 +227,19 @@ def convolve_one_with_many(
     return inverse_fft2_real(spec, (h, w)).astype(image.dtype)
 
 
+@partial(jax.jit, static_argnames=("shape",))
+def centered_embed_kernel_fft(
+    kernel: jnp.ndarray, shape: Tuple[int, int]
+) -> jnp.ndarray:
+    """Centered-embed ``kernel`` into ``shape`` and return its origin-rolled
+    spectrum, as ONE jitted call (eager pads/rolls are separate server-side
+    ops on remote-dispatch backends).  Batched over leading dims."""
+    h, w = kernel.shape[-2:]
+    if (h, w) != tuple(shape):
+        kernel = untrim(kernel, *shape)
+    return _centered_kernel_fft(kernel, tuple(shape))
+
+
 @jax.jit
 def prepare_kernel_fft(kernel: jnp.ndarray) -> jnp.ndarray:
     """rfft2 of a centered kernel (leading dims batched via lax.map), for

@@ -94,7 +94,15 @@ def embedded_kernel(
     """The scale kernel zero-padded (centered) to the full image size, ready
     for circular convolution via :func:`convolve_same`."""
     k = make_shape_function(scale_in_pixels, min(width, height), shape)
-    return np.asarray(untrim(jnp.asarray(k), height, width))
+    # Pure-NumPy centered embedding (no device round trip: a tiny eager op
+    # is a server-side compile on remote-dispatch backends and fails when
+    # the compile service is saturated).
+    h, w = k.shape
+    out = np.zeros((height, width), k.dtype)
+    top = height // 2 - h // 2
+    left = width // 2 - w // 2
+    out[top : top + h, left : left + w] = k
+    return out
 
 
 def scale_convolve(

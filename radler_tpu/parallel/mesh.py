@@ -144,10 +144,11 @@ def shard_multiscale_inputs(
     mesh: Mesh,
     residual: jnp.ndarray,  # [N, H, W]
     model: jnp.ndarray,  # [N, H, W]
-    kernel_f: jnp.ndarray,  # [S, H, Wf] complex
+    kernel_f: jnp.ndarray,  # [S, PH, PWf] complex (padded_small spectra)
     twice_psfs: jnp.ndarray,  # [S, C, H, W]
-    corr_f: jnp.ndarray,  # [S, C, PH, PWf] complex
-    kernel_pad_f: jnp.ndarray,  # [S, PH, PWf] complex
+    psf_f: jnp.ndarray,  # [C, PH, PWf] complex
+    kernel_f_large: jnp.ndarray,  # [S-split, PHb, PWbf] complex
+    psf_f_large: jnp.ndarray,  # [C, PHb, PWbf] complex
     valid_stack: jnp.ndarray,  # [S, H, W] bool
     rms_factor: jnp.ndarray,  # [H, W]
 ):
@@ -157,27 +158,30 @@ def shard_multiscale_inputs(
     "tile" axis — the reference's per-scale thread parallelism
     (``threaded_deconvolution_tools.cc:30-50``) becomes XLA-partitioned
     batched FFTs plus a tile max-reduce for the per-scale argmax
-    (``multiscale_algorithm.cc:578-634``); padded-size spectra are only
-    sharded over "chan" because the 7-smooth padded extent need not divide
-    the tile count."""
+    (``multiscale_algorithm.cc:578-634``).  The spectral residual the fused
+    loop derives from the (sharded) image-space cube inherits the channel
+    sharding; padded-size spectra bank rows are sharded over "chan" (PSF
+    planes) or replicated (kernel planes), because the 7-smooth padded
+    extent need not divide the tile count."""
     n_chan = mesh.shape["chan"]
     n_tile = mesh.shape["tile"]
     plane_axis = "chan" if residual.shape[0] % n_chan == 0 else None
-    psf_chan_axis = "chan" if twice_psfs.shape[1] % n_chan == 0 else None
+    psf_chan_axis = "chan" if psf_f.shape[0] % n_chan == 0 else None
     row_axis = "tile" if residual.shape[1] % n_tile == 0 else None
     cube = NamedSharding(mesh, P(plane_axis, row_axis, None))
     residual = jax.device_put(residual, cube)
     model = jax.device_put(model, cube)
-    kernel_f = jax.device_put(
-        kernel_f, NamedSharding(mesh, P(None, row_axis, None))
-    )
+    kernel_f = jax.device_put(kernel_f, replicated(mesh))
     twice_psfs = jax.device_put(
         twice_psfs, NamedSharding(mesh, P(None, psf_chan_axis, row_axis, None))
     )
-    corr_f = jax.device_put(
-        corr_f, NamedSharding(mesh, P(None, psf_chan_axis, None, None))
+    psf_f = jax.device_put(
+        psf_f, NamedSharding(mesh, P(psf_chan_axis, None, None))
     )
-    kernel_pad_f = jax.device_put(kernel_pad_f, replicated(mesh))
+    kernel_f_large = jax.device_put(kernel_f_large, replicated(mesh))
+    psf_f_large = jax.device_put(
+        psf_f_large, NamedSharding(mesh, P(psf_chan_axis, None, None))
+    )
     valid_stack = jax.device_put(
         valid_stack, NamedSharding(mesh, P(None, row_axis, None))
     )
@@ -189,25 +193,12 @@ def shard_multiscale_inputs(
         model,
         kernel_f,
         twice_psfs,
-        corr_f,
-        kernel_pad_f,
+        psf_f,
+        kernel_f_large,
+        psf_f_large,
         valid_stack,
         rms_factor,
     )
-
-
-def shard_correction_banks(mesh: Mesh, corr_f: jnp.ndarray,
-                           kernel_pad_f: jnp.ndarray):
-    """Lay a correction-spectra bucket over the mesh (channel axis when
-    divisible; padded extents stay unsharded — see
-    :func:`shard_multiscale_inputs`)."""
-    n_chan = mesh.shape["chan"]
-    psf_chan_axis = "chan" if corr_f.shape[1] % n_chan == 0 else None
-    corr_f = jax.device_put(
-        corr_f, NamedSharding(mesh, P(None, psf_chan_axis, None, None))
-    )
-    kernel_pad_f = jax.device_put(kernel_pad_f, replicated(mesh))
-    return corr_f, kernel_pad_f
 
 
 def facet_axis_spec(mesh: Mesh, n_facets: int):

@@ -33,6 +33,33 @@ def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
+_probe_cache: Dict[object, object] = {}
+
+
+def force_sync(x) -> None:
+    """Truly drain the device pipeline up to the production of ``x``.
+
+    ``jax.block_until_ready`` returns without waiting on remote-dispatch
+    backends (the axon tunnel acknowledges enqueue, not completion), which
+    silently breaks any wall-clock attribution.  Fetching a value produced
+    by a jitted reduction of ``x`` is a real barrier everywhere.
+    """
+    import numpy as np
+
+    for leaf in jax.tree_util.tree_leaves(x):
+        if not isinstance(leaf, jax.Array) or leaf.size == 0:
+            continue
+        key = (leaf.ndim, leaf.dtype)
+        probe = _probe_cache.get(key)
+        if probe is None:
+            probe = jax.jit(
+                lambda a: jax.numpy.abs(a.ravel()[:1]).astype("float32")
+            )
+            _probe_cache[key] = probe
+        np.asarray(probe(leaf))
+        return  # one leaf suffices: device streams are in-order
+
+
 class PhaseTimer:
     """Accumulating wall-clock timer for host-side phase breakdowns."""
 
@@ -47,7 +74,7 @@ class PhaseTimer:
             yield
         finally:
             if sync is not None:
-                jax.block_until_ready(sync)
+                force_sync(sync)
             dt = time.perf_counter() - t0
             self.totals[name] = self.totals.get(name, 0.0) + dt
             self.counts[name] = self.counts.get(name, 0) + 1

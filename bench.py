@@ -173,15 +173,23 @@ def make_diffuse_problem(size: int, n_channels: int, seed: int = 5):
 def run_multiscale(size: int, n_channels: int, n_iter: int, repeats: int = 2):
     """Config 3: multiscale CLEAN, joined channels, polynomial spectral fit.
 
-    The first full perform compiles the fused minor loop (minutes on the
-    remote backend); like the dense engine, a warm-up run is excluded and the
-    best of ``repeats`` warm runs is reported (shared-host tunnel noise)."""
+    Like the dense engine, the cubes live on device across the timed region
+    (the TPU major-loop contract: the caller's gridder hands over
+    device-resident residuals, ``work_table`` device accessors) and a
+    warm-up run is excluded; the best of ``repeats`` warm runs is reported
+    (shared-host tunnel noise).  The first perform compiles the fused minor
+    loop (cached on disk for reruns)."""
+    import jax
+    import jax.numpy as jnp
     import radler_tpu as rd
 
     psfs, residual = make_diffuse_problem(size, n_channels)
     freqs = np.array(
         [[1.0e8 + c * 1e7, 1.1e8 + c * 1e7] for c in range(n_channels)]
     )
+    psfs_dev = jnp.asarray(psfs)
+    res_dev0 = jnp.asarray(residual)
+    rms0 = float(jnp.sqrt(jnp.mean(res_dev0[0] ** 2)))
 
     def one_run():
         s = rd.Settings()
@@ -193,14 +201,18 @@ def run_multiscale(size: int, n_channels: int, n_iter: int, repeats: int = 2):
         s.major_loop_gain = 0.85
         s.spectral_fitting.mode = rd.SpectralFittingMode.POLYNOMIAL
         s.spectral_fitting.terms = 2
-        model = np.zeros_like(residual)
-        resid = residual.copy()
-        r = rd.Radler(s, psfs, resid, model, 0.0, frequencies=freqs)
-        rms0 = float(np.sqrt(np.mean(resid[0] ** 2)))
+        resid = res_dev0 + 0.0  # fresh device buffer, no host round trip
+        model = jnp.zeros_like(resid)
+        r = rd.Radler(s, psfs_dev, resid, model, 0.0, frequencies=freqs)
         t0 = time.perf_counter()
         r.perform(0)
+        # Sync on the device-resident residual.
+        from radler_tpu.utils.profiling import force_sync
+
+        out_res = r._table.front.residual_accessor.array  # ch-0 [H, W] plane
+        force_sync(out_res)
         dt = time.perf_counter() - t0
-        rms1 = float(np.sqrt(np.mean(resid[0] ** 2)))
+        rms1 = float(jnp.sqrt(jnp.mean(out_res**2)))
         print(
             f"[bench] multiscale {size}^2 x{n_channels}ch: "
             f"{r.iteration_number} iters in {dt:.1f}s, ch0 rms "

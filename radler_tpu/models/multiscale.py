@@ -32,11 +32,14 @@ from ..component_list import ComponentList
 from ..ops.convolution import (
     convolve_same,
     convolve_same_prefft,
+    forward_fft2,
+    inverse_fft2_real,
     prepare_kernel_fft,
 )
 from ..ops.multiscale_kernels import (
     embedded_kernel,
     kernel_peak_value,
+    make_shape_function,
     add_shape_component,
 )
 from ..ops.noise import rms as rms_op
@@ -149,6 +152,32 @@ def initialize_scales(
             entry.scale = scale
             entry.kernel_peak = kernel_peak_value(scale, min_width_height, shape)
             scales.append(entry)
+
+
+@jax.jit
+def _scale_convolved_center_values(
+    psf: jnp.ndarray, kimg_f: jnp.ndarray
+) -> jnp.ndarray:
+    """Center pixel of ``psf ⊛ kernel_s`` for every scale, one dispatch
+    (the psf_peak values of ``ConvolvePsfs``, multiscale_algorithm.cc:44)."""
+    h, w = psf.shape
+    pf = forward_fft2(psf)
+    conv = inverse_fft2_real(pf[None] * kimg_f, (h, w))
+    return conv[:, h // 2, w // 2]
+
+
+@jax.jit
+def _twice_convolved_stack(
+    psfs: jnp.ndarray, kimg_f: jnp.ndarray
+) -> jnp.ndarray:
+    """[S, C, H, W] twice-convolved PSF stack in one dispatch:
+    ``ifft(fft(psf_c) * kernel_f[s]^2)`` (the per-scale double convolution
+    of ``multiscale_algorithm.cc:331-344``)."""
+    h, w = psfs.shape[-2:]
+    pf = forward_fft2(psfs)  # [C, ...]
+    spec = pf[None, :] * (kimg_f[:, None] * kimg_f[:, None])
+    out = inverse_fft2_real(spec, (h, w))
+    return out.astype(psfs.dtype)
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -801,26 +830,36 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
 
         S = len(self.scale_infos)
 
-        # PSF banks; the integrated-PSF pass sets psf_peak/bias/gain
-        # (multiscale_algorithm.cc:29-88), exactly as in the host path.
-        integrated_psf = get_integrated_psf(psfs, meta)
-        convolved = [
-            _timed(
-                "bank_integrated_psfs", self._convolve_psfs, integrated_psf, True
-            )
-        ]
-        if meta.n_channels > 1:
-            convolved = _timed(
-                "bank_channel_psfs",
-                lambda: [
-                    self._convolve_psfs(psfs[c], False)
-                    for c in range(meta.n_channels)
-                ],
-            )
-
         split, (pa_h, pa_w), (pb_h, pb_w) = self._correction_split(
             width, height
         )
+
+        # Compact host-side kernel stack [S, kmax, kmax]: the scale kernels
+        # have small support (tapered-quadratic: scale+1 pixels), so a few
+        # MB travel to the device and ONE jitted call embeds + transforms a
+        # whole bank — full-canvas embedded kernels would be 100s of MB of
+        # zeros through the host->device tunnel.
+        compact = _timed(
+            "bank_kernel_stack_host", self._compact_kernel_stack, width, height
+        )
+        compact_dev = jnp.asarray(compact)
+
+        # Integrated-PSF pass: per-scale convolved PSF peaks set
+        # psf_peak/bias/gain (``ConvolvePsfs``, multiscale_algorithm.cc:
+        # 29-88) — one dispatch, one [S]-vector fetch (the host path's
+        # per-scale float() pulls are S pipeline drains on a remote
+        # backend).
+        integrated_psf = get_integrated_psf(psfs, meta)
+        kimg_f = centered_embed_kernel_fft(compact_dev, (height, width))
+        peaks = np.asarray(
+            _timed(
+                "bank_integrated_peaks",
+                _scale_convolved_center_values,
+                integrated_psf,
+                kimg_f,
+            )
+        )
+        self._apply_psf_peaks(peaks)
 
         # Per-channel correction PSFs (the integrated PSF for single-channel
         # runs, matching the host path's single_convolved_cache source).
@@ -830,55 +869,38 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
             else integrated_psf[None]
         )
 
-        # [S, C, H, W] twice-convolved PSF stack for the subminor's
-        # patch subtraction (image size, as in the reference).
-        single = jnp.stack(
-            [
-                jnp.stack(
-                    [
-                        convolved[min(c, len(convolved) - 1)][s]
-                        for c in range(meta.n_channels)
-                    ]
-                )
-                for s in range(S)
-            ]
-        )
+        # [S, C, H, W] twice-convolved PSF stack for the subminor's patch
+        # subtraction (image size, as in the reference): one dispatch,
+        # twice[s, c] = ifft(fft(psf_c) * kernel_f[s]^2).
         twice = _timed(
-            "bank_twice_psfs",
-            lambda: jnp.stack(
-                [
-                    self._scale_convolve(single[s], self.scale_infos[s].scale)
-                    for s in range(S)
-                ]
-            ),
+            "bank_twice_psfs", _twice_convolved_stack, corr_psfs, kimg_f
         )
 
-        def kernel_bank(indices, ph, pw):
-            # Host-side embedded kernels (scale 0 = centered delta, whose
-            # origin-rolled spectrum is exactly flat), one jitted transform.
-            rows = np.zeros((len(list(indices)), ph, pw), np.float32)
-            for i, s in enumerate(indices):
-                e = self.scale_infos[s]
-                if e.scale == 0.0:
-                    rows[i, ph // 2, pw // 2] = 1.0
-                else:
-                    rows[i] = embedded_kernel(
-                        e.scale, ph, pw, self.ms_settings.shape
-                    )
-            return centered_embed_kernel_fft(jnp.asarray(rows), (ph, pw))
-
-        def psf_bank(ph, pw):
-            return centered_embed_kernel_fft(
-                jnp.asarray(corr_psfs), (ph, pw)
-            )
-
-        kernel_f = _timed("bank_kernel_spectra", kernel_bank, range(S), pa_h, pa_w)
-        psf_f = _timed("bank_psf_spectra", psf_bank, pa_h, pa_w)
+        kernel_f = _timed(
+            "bank_kernel_spectra",
+            centered_embed_kernel_fft,
+            compact_dev,
+            (pa_h, pa_w),
+        )
+        psf_f = _timed(
+            "bank_psf_spectra",
+            centered_embed_kernel_fft,
+            jnp.asarray(corr_psfs),
+            (pa_h, pa_w),
+        )
         if split < S:
             kernel_f_large = _timed(
-                "bank_kernel_spectra", kernel_bank, range(split, S), pb_h, pb_w
+                "bank_kernel_spectra",
+                centered_embed_kernel_fft,
+                compact_dev[split:],
+                (pb_h, pb_w),
             )
-            psf_f_large = _timed("bank_psf_spectra", psf_bank, pb_h, pb_w)
+            psf_f_large = _timed(
+                "bank_psf_spectra",
+                centered_embed_kernel_fft,
+                jnp.asarray(corr_psfs),
+                (pb_h, pb_w),
+            )
         else:
             # Single bucket: 1-row placeholders keep the pytree static.
             kernel_f_large = kernel_f[:1]
@@ -902,6 +924,48 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
             (pa_h, pa_w),
             (pb_h, pb_w),
         )
+
+    def _compact_kernel_stack(self, width: int, height: int) -> np.ndarray:
+        """[S, kmax, kmax] stack of centered scale kernels (scale 0 = a
+        centered delta, whose origin-rolled spectrum is exactly flat)."""
+        kernels = []
+        for e in self.scale_infos:
+            if e.scale == 0.0:
+                kernels.append(np.ones((1, 1), np.float32))
+            else:
+                kernels.append(
+                    make_shape_function(
+                        e.scale, min(width, height), self.ms_settings.shape
+                    )
+                )
+        kmax = max(k.shape[0] for k in kernels)
+        stack = np.zeros((len(kernels), kmax, kmax), np.float32)
+        for i, k in enumerate(kernels):
+            n = k.shape[0]
+            oy = kmax // 2 - n // 2
+            ox = kmax // 2 - n // 2
+            stack[i, oy : oy + n, ox : ox + n] = k
+        return stack
+
+    def _apply_psf_peaks(self, peaks: np.ndarray) -> None:
+        """Set psf_peak/bias_factor/gain per scale from the fetched
+        convolved-PSF center values (``ConvolvePsfs`` side effects,
+        multiscale_algorithm.cc:29-88)."""
+        first_auto_scale_size = self.beam_size_in_pixels * 2.0
+        for i, entry in enumerate(self.scale_infos):
+            entry.psf_peak = float(peaks[i])
+            if entry.scale == 0.0 or len(self.scale_infos) < 2:
+                exp_term = 0.0
+            else:
+                exp_term = math.log2(entry.scale / first_auto_scale_size)
+            entry.bias_factor = self.ms_settings.scale_bias ** (-exp_term)
+            entry.gain = self.minor_loop_gain / entry.psf_peak
+            entry.is_active = True
+            log.info(
+                f"- Scale {round(entry.scale)}, bias factor="
+                f"{round(entry.bias_factor * 10.0) / 10.0}, "
+                f"psfpeak={entry.psf_peak}, gain={entry.gain}"
+            )
 
     def _execute_fused(
         self, dirty_set, model_set, psfs: jnp.ndarray, result

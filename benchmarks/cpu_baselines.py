@@ -133,6 +133,7 @@ def baseline_multiscale(
     major_gain: float = 0.85,
     n_scales: int = 5,
     sub_minor_loop_gain: float = 0.2,
+    padded_corrections: bool = False,
 ):
     """Multiscale minor loop: scale bank maxima -> fixed-scale subminor on
     twice-convolved images -> FFT residual correction per outer iteration
@@ -142,7 +143,14 @@ def baseline_multiscale(
     peak has decreased to ``(1 - sub_minor_loop_gain)`` of the value it had
     when the scale was selected (``settings.h:476-481``, default 0.2), NOT a
     fixed iteration count — so the scale-bank FFT refresh happens every few
-    minor iterations, exactly as in the reference and in the TPU rebuild."""
+    minor iterations, exactly as in the reference and in the TPU rebuild.
+
+    ``padded_corrections=True`` pads the per-outer-iteration residual
+    correction to the reference's own per-scale convolution size
+    (``cpp/utils/fft_size_calculations.h:39-50``), the reference-faithful
+    (heavier) variant; the default convolves at image size (wrap-risking,
+    algorithmically LIGHTER than the reference — the adversarially fast
+    CPU core)."""
     n_chan, size, _ = residual.shape
     beam = 2.0
     scales = [0.0] + [beam * (2.0**s) for s in range(1, n_scales)]
@@ -201,9 +209,25 @@ def baseline_multiscale(
         # Residual correction: subtract (scale-convolved model delta) ⊛ psf
         # per channel (one FFT pass per channel).
         delta = model.mean(axis=0)  # proxy for this pass's additions
-        corr = _fft_convolve_same(delta, kernels[sel])
-        for c in range(n_chan):
-            res[c] = residual[c] - _fft_convolve_same(corr, psfs[c])
+        if padded_corrections:
+            from radler_tpu.utils.fft_size import get_convolution_size
+
+            p = get_convolution_size(scales[sel], size, 1.1)
+            top = p // 2 - size // 2
+
+            def embed(img):
+                out = np.zeros((p, p), np.float32)
+                out[top : top + size, top : top + size] = img
+                return out
+
+            corr_p = _fft_convolve_same(embed(delta), embed(kernels[sel]))
+            for c in range(n_chan):
+                full = _fft_convolve_same(corr_p, embed(psfs[c]))
+                res[c] = residual[c] - full[top : top + size, top : top + size]
+        else:
+            corr = _fft_convolve_same(delta, kernels[sel])
+            for c in range(n_chan):
+                res[c] = residual[c] - _fft_convolve_same(corr, psfs[c])
     dt = time.perf_counter() - t0
     return total_iters, dt
 
@@ -342,6 +366,12 @@ def main():
     )
     ap.add_argument("--size", type=int, default=None)
     ap.add_argument("--iters", type=int, default=None)
+    ap.add_argument(
+        "--padded",
+        action="store_true",
+        help="multiscale only: reference-faithful per-scale padded "
+        "correction sizes instead of image-size corrections",
+    )
     args = ap.parse_args()
 
     if args.config == "clark":
@@ -353,7 +383,9 @@ def main():
         size = args.size or 2048
         iters = args.iters or 600
         psfs, residual = make_diffuse_problem(size, 8)
-        n, dt = baseline_multiscale(psfs, residual, iters)
+        n, dt = baseline_multiscale(
+            psfs, residual, iters, padded_corrections=args.padded
+        )
     else:
         size = args.size or 4096
         iters = args.iters or 16

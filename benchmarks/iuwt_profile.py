@@ -20,14 +20,15 @@ from radler_tpu.ops.convolution import convolve_same
 
 
 def timeit(label, fn, n=5):
-    fn()  # compile
-    jax.block_until_ready(fn())
+    from radler_tpu.utils.profiling import force_sync
+
+    force_sync(fn())  # compile + drain
     best = float("inf")
     for _ in range(n):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
+        force_sync(fn())
         best = min(best, time.perf_counter() - t0)
-    print(f"{label:42s} {best * 1e3:9.2f} ms")
+    print(f"{label:42s} {best * 1e3:9.2f} ms", flush=True)
     return best
 
 

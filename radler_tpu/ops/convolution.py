@@ -25,12 +25,23 @@ from ..utils.fft_size import calculate_good_fft_size
 from . import fft as mxu_fft
 
 
+def _odd_part(n: int) -> int:
+    while n % 2 == 0 and n > 0:
+        n //= 2
+    return n
+
+
 def _matmul_fft_active(h: int, w: int) -> bool:
     """Whether the MXU matmul-FFT backend (ops/fft.py) handles this shape.
 
-    XLA's native TPU FFT runs at ~22 GFLOP/s (measured); the four-step
-    matmul formulation is 40-60x faster on sizes the MXU tiles well.  Full
-    spectra ([H, W] complex) are used in that mode instead of rfft
+    Routing is by measurement (re-measured 2026-08-21 on v5e / jax 0.9.0,
+    [8, N, N] forward+inverse pairs, scratch/fft benchmarks recorded in
+    BASELINE.md): the native TPU FFT wins on power-of-two and
+    near-power-of-two sizes (odd part <= 49: 2048² 21 ms vs 37 ms matmul,
+    4096² 77 ms vs 96 ms, 3136²=2⁶·7² 48 ms vs 61 ms), while the matmul
+    four-step formulation wins 2-3x on sizes with a large odd factor where
+    the native FFT collapses (2268² 37 ms vs 86 ms, 2500² 45 ms vs 115 ms).
+    Full spectra ([H, W] complex) are used in matmul mode instead of rfft
     half-planes; all spectrum producers/consumers in this module agree on
     the representation via these helpers.  Opt out with
     RADLER_TPU_NO_MXU_FFT=1 (e.g. to A/B against the native FFT).
@@ -43,12 +54,8 @@ def _matmul_fft_active(h: int, w: int) -> bool:
         return False
     if platform not in ("tpu", "axon") or min(h, w) < 256:
         return False
-    # Native FFT is only competitive at large power-of-two sizes; 7-smooth
-    # padded convolution sizes (2400, 4500, ...) are where it collapses and
-    # the matmul path wins 2-3x even on a throttled MXU.
-    pow2 = (h & (h - 1)) == 0 and (w & (w - 1)) == 0
-    if pow2 and max(h, w) >= 4096:
-        return False
+    if _odd_part(h) <= 49 and _odd_part(w) <= 49:
+        return False  # native FFT wins on (near-)power-of-two sizes
     return mxu_fft.supported_size(h) and mxu_fft.supported_size(w)
 
 

@@ -1,12 +1,15 @@
 """Matmul-based (four-step) FFT for the MXU.
 
-XLA's native TPU FFT runs at ~22 GFLOP/s on a v5e (measured: 76 ms for one
-2048x2048 c64 forward+inverse pair) — it is the bottleneck of every
-FFT-convolution path in this framework (multiscale scale banks, subminor
-residual correction, IUWT).  A Cooley-Tukey four-step factorization turns the
-same transform into a pair of small dense DFT matmuls plus a twiddle
-multiply, which the MXU executes at tens of TFLOP/s: the factored transform
-does ~9x the FLOPs of an n·log n FFT but finishes ~40-60x sooner.
+XLA's native TPU FFT collapses on transform sizes with a large odd factor —
+exactly the 2·3·5·7-smooth padded convolution sizes this framework uses
+(re-measured 2026-08-21 on v5e / jax 0.9.0: an [8, 2500, 2500] rfft2
+forward+inverse pair takes 115 ms native vs 45 ms here; 2268² is 86 ms vs
+37 ms — while on power-of-two and near-power-of-two sizes the native FFT
+now wins, see ``convolution._matmul_fft_active`` for the measured routing).
+A Cooley-Tukey four-step factorization turns the same transform into a pair
+of small dense DFT matmuls plus a twiddle multiply, which the MXU executes
+at tens of TFLOP/s: the factored transform does ~9x the FLOPs of an
+n·log n FFT but finishes 2-3x sooner on those sizes.
 
 For a length-n axis with n = n1·n2 (row-major split j = j1·n2 + j2,
 k = k1 + n1·k2):

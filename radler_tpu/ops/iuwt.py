@@ -23,15 +23,25 @@ _H = (1.0 / 16.0, 4.0 / 16.0, 6.0 / 16.0, 4.0 / 16.0, 1.0 / 16.0)
 
 
 def _shifted(image: jnp.ndarray, dist: int, axis: int) -> jnp.ndarray:
-    """out[i] = image[i + dist] with zero fill (reference's clipped taps)."""
+    """out[i] = image[i + dist] with zero fill (reference's clipped taps).
+
+    Implemented as pad+slice (pure data movement): measured 2x faster at
+    4096² than the roll+iota+where formulation, whose compare/select lanes
+    don't fuse away on TPU.
+    """
     if dist == 0:
         return image
     axis = axis % image.ndim
     n = image.shape[axis]
-    rolled = jnp.roll(image, -dist, axis=axis)
-    idx = jax.lax.broadcasted_iota(jnp.int32, image.shape, axis)
-    valid = (idx + dist >= 0) & (idx + dist < n)
-    return jnp.where(valid, rolled, 0.0)
+    pad = [(0, 0)] * image.ndim
+    sl = [slice(None)] * image.ndim
+    if dist > 0:
+        pad[axis] = (0, dist)
+        sl[axis] = slice(dist, dist + n)
+    else:
+        pad[axis] = (-dist, 0)
+        sl[axis] = slice(0, n)
+    return jnp.pad(image, pad)[tuple(sl)]
 
 
 def _conv_axis(image: jnp.ndarray, scale: int, axis: int) -> jnp.ndarray:

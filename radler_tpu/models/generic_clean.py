@@ -387,11 +387,34 @@ class GenericClean(DeconvolutionAlgorithm):
                 else None
             )
             if mesh_active:
-                # Multi-chip: shard the cube over the ("chan", "tile") mesh
-                # and let XLA partition the jitted minor loop — the joined
-                # integration becomes a channel psum, the argmax a max-reduce
-                # over tiles, and the peak update a broadcast (the
-                # reference's thread-pool exchanges, SURVEY.md §2.2).
+                # Multi-chip: prefer the measured fused Pallas step,
+                # partitioned with shard_map (parallel/mesh.py::
+                # mesh_hogbom_loop) — each device streams its row-block of
+                # its channel planes exactly like the single-chip kernel,
+                # and the reference's exchanges are explicit collectives.
+                from ..parallel.mesh import mesh_pallas_eligible
+
+                if mesh_pallas_eligible(
+                    self.device_mesh, meta, height, width, True
+                ):
+                    return self._run_mesh_pallas_hogbom(
+                        dirty_set,
+                        model_set,
+                        psfs_padded,
+                        pk,
+                        first_threshold,
+                        initial_max_value,
+                        iteration_counter_at_start,
+                        major_iter_threshold,
+                        result,
+                        hb,
+                        vb,
+                    )
+                # Fallback: shard the cube and let XLA partition the jitted
+                # dense minor loop (the joined integration becomes a channel
+                # psum, the argmax a max-reduce over tiles, the peak update
+                # a broadcast — the reference's thread-pool exchanges,
+                # SURVEY.md §2.2).
                 from ..parallel.mesh import shard_clean_inputs
 
                 (
@@ -670,6 +693,97 @@ class GenericClean(DeconvolutionAlgorithm):
             platform in ("tpu", "axon")
             and width % 128 == 0
             and height % 8 == 0
+        )
+
+    def _run_mesh_pallas_hogbom(
+        self,
+        dirty_set,
+        model_set,
+        psfs_padded: jnp.ndarray,
+        pk,
+        first_threshold: float,
+        initial_max_value: float,
+        iteration_counter_at_start: int,
+        major_iter_threshold: float,
+        result: DeconvolutionResult,
+        hb: int,
+        vb: int,
+    ) -> DeconvolutionResult:
+        """Mesh-partitioned twin of :meth:`_run_pallas_hogbom` (see
+        ``parallel/mesh.py::mesh_hogbom_loop``); Pallas runs compiled on
+        TPU devices and in interpreter mode on the virtual CPU mesh."""
+        from ..ops.pallas.hogbom_step import pad_psfs
+        from ..ops.peak_finder import window_mask
+        from ..parallel.mesh import mesh_hogbom_loop
+
+        meta = dirty_set.meta
+        height, width = dirty_set.height, dirty_set.width
+        host_weight = window_mask(height, width, hb, vb).astype(np.float32)
+        if self.clean_mask is not None:
+            host_weight = host_weight * np.asarray(
+                self.clean_mask, np.float32
+            )
+        weight = jnp.asarray(host_weight)
+        if self.rms_factor_image is not None:
+            rms = self.rms_factor_image
+            weight = weight * rms
+        else:
+            rms = _ones_plane(height, width)
+        per_image_psfs = psfs_padded[jnp.asarray(meta.psf_indices)]
+        fit = (
+            self.spectral_fitter
+            if (
+                self.spectral_fitter is not None
+                and self.spectral_fitter.is_active
+            )
+            else None
+        )
+        try:
+            platform = jax.devices()[0].platform
+        except Exception:
+            platform = "cpu"
+        res, mod, it, value, found_f, diverging_f = mesh_hogbom_loop(
+            self.device_mesh,
+            dirty_set.data,
+            model_set.data,
+            pad_psfs(per_image_psfs),
+            weight,
+            rms,
+            pk.value,
+            pk.x,
+            pk.y,
+            pk.found,
+            jnp.float32(first_threshold),
+            jnp.float32(self.minor_loop_gain),
+            jnp.float32(initial_max_value),
+            jnp.float32(self.divergence_limit),
+            jnp.int32(self.iteration_number),
+            jnp.int32(self.max_iterations),
+            meta=meta,
+            allow_negative=self.allow_negative_components,
+            stop_on_negative=self.stop_on_negative_components,
+            fitter=fit,
+            interpret=platform not in ("tpu", "axon"),
+        )
+        dirty_set.data = res
+        model_set.data = mod
+        it_f, val_f, fnd_f, div_f = np.asarray(
+            jnp.stack(
+                [
+                    it.astype(jnp.float32),
+                    value,
+                    found_f.astype(jnp.float32),
+                    diverging_f.astype(jnp.float32),
+                ]
+            )
+        ).tolist()
+        self.iteration_number = int(it_f)
+        return self._finish_result(
+            result,
+            bool(div_f),
+            val_f if bool(fnd_f) else None,
+            iteration_counter_at_start,
+            major_iter_threshold,
         )
 
     def _run_pallas_hogbom(

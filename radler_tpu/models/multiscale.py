@@ -1180,26 +1180,36 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
             # Forced terms are per-pixel images; facet-local coordinates
             # do not address them.
             return False
-        # The facet cubes multiply by F where the banks stay shared.
+        # The per-facet state multiplies by F where the banks stay shared.
+        # The dominant per-facet terms of the spectral-residual loop
+        # (multiscale_fused.py): the complex res_f at the unified padded
+        # size (x2: while-loop carries double-buffer), the padded PSF for
+        # the Pallas/dense subtraction, the spectral-subtract temporaries,
+        # and the maxima/cube inverse transients (measured 38.8 GB vs
+        # 15.75 GB HBM for 4 facets of 2048^2 x 8 planes — vmapped facets
+        # must stay well under the chip budget or the serial loop wins by
+        # actually running).
         N, C = meta.n_images, meta.n_channels
         S = max(len(self.scale_infos), 1)
-        extra = (n_facets - 1) * 6 * N * box_h * box_w * 4
+        split, (ph, pw), (phl, pwl) = self._correction_split(box_w, box_h)
+        per_facet = (
+            2 * N * ph * pw * 8  # res_f carry (double-buffered)
+            + 2 * N * ph * pw * 8  # spectral-subtract temporaries
+            + 2 * N * box_h * box_w * 4  # comp carry
+            + max(S, N) * ph * pw * 4  # maxima / cube inverse transients
+            + 6 * N * box_h * box_w * 4  # residual/model carries + psf_pad
+        )
+        if self.track_per_scale_masks or self.use_per_scale_masks:
+            per_facet += 2 * S * box_h * box_w
+        if self.track_components:
+            per_facet += 2 * S * N * box_h * box_w * 4
+        extra = n_facets * per_facet
         if n_unique_psfs > 1:
             # Direction-dependent PSFs: the twice-convolved stacks and
-            # correction spectra are gathered per facet.
-            max_scale = max(e.scale for e in self.scale_infos)
-            ph = get_convolution_size(
-                max_scale, box_h, self.ms_settings.convolution_padding
-            )
-            pw = get_convolution_size(
-                max_scale, box_w, self.ms_settings.convolution_padding
-            )
-            extra += n_facets * S * C * (box_h * box_w * 4 + ph * pw * 8)
-        if self.track_per_scale_masks or self.use_per_scale_masks:
-            extra += n_facets * S * box_h * box_w
-        if self.track_components:
-            extra += 2 * n_facets * S * N * box_h * box_w * 4
-        return extra < 4e9
+            # per-facet PSF spectra are gathered per facet.
+            extra += n_facets * S * C * box_h * box_w * 4
+            extra += n_facets * C * (ph * pw + phl * pwl) * 8
+        return extra < 9e9
 
     def execute_batched_facets(
         self,

@@ -326,6 +326,206 @@ def fused_clean_step(
     return new_res, global_idx[0, 0], global_max[0, 0]
 
 
+def _subtract_integrate_kernel(
+    # scalar prefetch
+    peak_ref,  # SMEM [2]: (y, x) in the LOCAL row frame (may be negative)
+    values_ref,  # SMEM [N_loc]: gain-scaled component values
+    coefs_ref,  # SMEM [N_loc]: this shard's channel coefficients
+    # inputs
+    residual_ref,  # VMEM [N_loc, Bh, W] block
+    psf_hbm,  # HBM [N_loc, 2H+8, 2W+128] padded PSF per local plane
+    # outputs
+    out_res_ref,  # VMEM [N_loc, Bh, W]
+    out_integ_ref,  # VMEM [Bh, W] additive integration part
+    # scratch
+    psf_vmem,
+    sem,
+    *,
+    n_polarizations: int,
+    pol_coefs: Tuple[float, ...],
+    block_rows: int,
+    width: int,
+    height: int,
+    integration_mode: str,  # "signed" | "normal" | "squared" | "linear"
+):
+    """Shard-local fused clean step: subtract the shifted PSF from the local
+    planes and emit the shard's ADDITIVE part of the joined integration
+    (summed across channel shards with a psum outside; "squared" mode emits
+    the pre-sqrt sum).  The peak (y, x) is given in this shard's local row
+    frame — negative / beyond-block values simply select the matching rows
+    of the padded PSF, which covers every global offset
+    (``simple_clean.cc:61-96`` clipping via the zero padding).
+
+    ``height`` is the LOCAL row count of the shard's residual; the caller
+    adjusts the peak row so that ``height - y_local`` lands on the right
+    global PSF row (see ``parallel/mesh.py::mesh_hogbom_loop``).
+    """
+    n_images = residual_ref.shape[0]
+    i = pl.program_id(0)
+    y = peak_ref[0]
+    x = peak_ref[1]
+
+    col_start = width - x
+    col_off = jax.lax.rem(col_start, 128)
+    col_al = pl.multiple_of(jax.lax.div(col_start, 128) * 128, 128)
+
+    def psf_dma(slot, block_index):
+        row_start = height - y + block_index * block_rows
+        row_al = pl.multiple_of(jax.lax.div(row_start, 8) * 8, 8)
+        return pltpu.make_async_copy(
+            psf_hbm.at[
+                :,
+                pl.ds(row_al, block_rows + 8),
+                pl.ds(col_al, width + 128),
+            ],
+            psf_vmem.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        psf_dma(0, 0).start()
+
+    @pl.when(i + 1 < pl.num_programs(0))
+    def _():
+        psf_dma((i + 1) % 2, i + 1).start()
+
+    psf_dma(i % 2, i).wait()
+    slot = i % 2
+
+    row_start = height - y + i * block_rows
+    row_off = jax.lax.rem(row_start, 8)
+    shift_r = jax.lax.rem(block_rows + 8 - row_off, block_rows + 8)
+    shift_c = jax.lax.rem(width + 128 - col_off, width + 128)
+    planes = []
+    for plane in range(n_images):
+        value = values_ref[plane]
+        psf_block = pltpu.roll(psf_vmem[slot, plane], shift_r, 0)
+        psf_block = pltpu.roll(psf_block, shift_c, 1)
+        psf_block = psf_block[:block_rows, :width]
+        new_plane = residual_ref[plane] - value * psf_block
+        out_res_ref[plane] = new_plane
+        planes.append(new_plane)
+
+    if integration_mode in ("signed", "linear"):
+        integ = None
+        for p in range(n_images):
+            term = planes[p] * coefs_ref[p]
+            integ = term if integ is None else integ + term
+    elif integration_mode == "normal":
+        n_chan_local = n_images // n_polarizations
+        integ = None
+        for c in range(n_chan_local):
+            if n_polarizations == 1:
+                per_chan = planes[c]
+            else:
+                sq = None
+                for p in range(n_polarizations):
+                    plane = planes[c * n_polarizations + p]
+                    term = plane * plane * np.float32(pol_coefs[p])
+                    sq = term if sq is None else sq + term
+                per_chan = jnp.sqrt(jnp.maximum(sq, 0.0))
+            term = per_chan * coefs_ref[c * n_polarizations]
+            integ = term if integ is None else integ + term
+    else:  # squared joins: emit the pre-sqrt sum (additive across shards)
+        n_chan_local = n_images // n_polarizations
+        sq = None
+        for c in range(n_chan_local):
+            for p in range(n_polarizations):
+                plane = planes[c * n_polarizations + p]
+                term = (
+                    plane
+                    * plane
+                    * coefs_ref[c * n_polarizations]
+                    * np.float32(pol_coefs[p])
+                )
+                sq = term if sq is None else sq + term
+        integ = sq
+    out_integ_ref[...] = integ
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "block_rows",
+        "integration_mode",
+        "pol_coefs",
+        "n_polarizations",
+        "interpret",
+    ),
+)
+def fused_subtract_integrate(
+    residual: jnp.ndarray,  # [N_loc, H_loc, W]
+    psf_padded: jnp.ndarray,  # [N_loc, 2H+8, 2W+128] (GLOBAL-size padding)
+    values: jnp.ndarray,  # [N_loc] gain-scaled component values
+    chan_coefs: jnp.ndarray,  # [N_loc] runtime integration coefficients
+    peak_y: jnp.ndarray,  # LOCAL-frame peak row (see kernel docstring)
+    peak_x: jnp.ndarray,
+    *,
+    block_rows: int = 256,
+    integration_mode: str = "signed",
+    pol_coefs: Tuple[float, ...] = (1.0,),
+    n_polarizations: int = 1,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Shard-local fused subtract + additive-integration emit: the
+    shard_map building block of ``parallel/mesh.py::mesh_hogbom_loop``.
+    Returns ``(new_residual, integ_part [H_loc, W])``."""
+    n, height, width = residual.shape
+    assert height % block_rows == 0, (height, block_rows)
+    n_blocks = height // block_rows
+    peak = jnp.stack([peak_y, peak_x]).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(
+                (n, block_rows, width),
+                lambda i, s, v, c: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),  # psf stays in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (n, block_rows, width),
+                lambda i, s, v, c: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (block_rows, width),
+                lambda i, s, v, c: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, n, block_rows + 8, width + 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = partial(
+        _subtract_integrate_kernel,
+        n_polarizations=n_polarizations,
+        pol_coefs=pol_coefs,
+        block_rows=block_rows,
+        width=width,
+        height=height,
+        integration_mode=integration_mode,
+    )
+    new_res, integ = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n, height, width), jnp.float32),
+            jax.ShapeDtypeStruct((height, width), jnp.float32),
+        ],
+        input_output_aliases={3: 0},
+        interpret=interpret,
+    )(peak, values, chan_coefs.astype(jnp.float32), residual, psf_padded)
+    return new_res, integ
+
+
 def pad_psfs(psfs: jnp.ndarray) -> jnp.ndarray:
     """Zero-pad centered PSFs [*, H, W] -> [*, 2H+8, 2W+128] so that the
     slice at (H - y, W - x) is the PSF shifted to (x, y) with edge clipping;

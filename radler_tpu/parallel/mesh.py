@@ -114,6 +114,247 @@ def sharded_clean_step(
     return residual, model, peak
 
 
+def _shard_map(fn, mesh, in_specs, out_specs):
+    """shard_map across jax versions (check_rep/check_vma naming drift)."""
+    try:
+        from jax import shard_map as _sm  # jax >= 0.6
+
+        try:
+            return _sm(
+                fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                check_vma=False,
+            )
+        except TypeError:
+            return _sm(
+                fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                check_rep=False,
+            )
+    except ImportError:
+        from jax.experimental.shard_map import shard_map as _sm
+
+        return _sm(
+            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_rep=False,
+        )
+
+
+def mesh_pallas_eligible(
+    mesh: Mesh, meta, height: int, width: int, use_pallas: bool
+) -> bool:
+    """Whether :func:`mesh_hogbom_loop` can run this cube: plane count
+    divides the "chan" axis without splitting a polarization group, rows
+    divide the "tile" axis into Pallas-friendly blocks."""
+    n_chan = mesh.shape["chan"]
+    n_tile = mesh.shape["tile"]
+    N = meta.n_images
+    if N % n_chan != 0 or (N // n_chan) % meta.n_polarizations != 0:
+        return False
+    if height % n_tile != 0:
+        return False
+    h_loc = height // n_tile
+    if h_loc % 8 != 0:
+        return False
+    return True
+
+
+def mesh_hogbom_loop(
+    mesh: Mesh,
+    residual: jnp.ndarray,  # [N, H, W] (host or device; placed here)
+    model: jnp.ndarray,  # [N, H, W]
+    psf_padded: jnp.ndarray,  # [N, 2H+8, 2W+128] (pad_psfs of full-size PSFs)
+    weight: jnp.ndarray,  # [H, W] combined window/mask/rms weight
+    rms_factor: jnp.ndarray,  # [H, W]
+    peak0_value: jnp.ndarray,
+    peak0_x: jnp.ndarray,
+    peak0_y: jnp.ndarray,
+    peak0_found: jnp.ndarray,
+    first_threshold: jnp.ndarray,
+    gain: jnp.ndarray,
+    initial_abs_peak: jnp.ndarray,
+    divergence_limit: jnp.ndarray,
+    start_iteration: jnp.ndarray,
+    max_iterations: jnp.ndarray,
+    *,
+    meta,
+    allow_negative: bool,
+    stop_on_negative: bool,
+    fitter,
+    interpret: bool = False,
+):
+    """The measured fused Pallas Högbom loop, partitioned over the
+    ("chan", "tile") mesh with ``shard_map``.
+
+    Per minor iteration each device runs :func:`fused_subtract_integrate`
+    on its row-block of its channel planes (the same streamed
+    subtract+integrate pass measured single-chip) and the reference's four
+    exchange patterns (SURVEY.md §2.2) become explicit collectives:
+
+    * the joined integration is a ``psum`` of the shard's additive part
+      over "chan" (one [H/T, W] block per iteration, ICI);
+    * the global argmax is a ``pmax`` pair over both axes (scalars);
+    * the peak's per-plane values are a masked gather + ``psum`` over
+      "tile" + ``all_gather`` over "chan" ([N] scalars, for the spectral
+      fit every device evaluates identically);
+    * the threshold/stop predicate needs no exchange — every device holds
+      the same scalars after the reductions.
+
+    Same contract as ``hogbom_loop_pallas``; returns
+    ``(residual, model, iterations, value, found, diverging)``.
+    """
+    from ..ops.pallas.hogbom_step import (
+        fused_subtract_integrate,
+        integration_coefficients,
+    )
+    from ..models.generic_clean import _choose_block_rows
+
+    N, H, W = residual.shape
+    n_chan = mesh.shape["chan"]
+    n_tile = mesh.shape["tile"]
+    N_loc = N // n_chan
+    H_loc = H // n_tile
+    C, Pp = meta.n_channels, meta.n_polarizations
+    mode, chan_np, pol_np = integration_coefficients(meta)
+    pol_t = tuple(float(v) for v in pol_np)
+    # Per-plane channel coefficients (plane n carries its channel's coef).
+    if mode == "signed":
+        coefs_np = np.asarray(chan_np, np.float32)
+    else:
+        coefs_np = np.repeat(np.asarray(chan_np, np.float32), Pp)
+    block_rows = _choose_block_rows(H_loc, W, N_loc)
+    flt_min = jnp.float32(1.1754943508222875e-38)
+
+    plane_axis = "chan" if n_chan > 1 else None
+    cube_spec = P(plane_axis, "tile", None)
+    psf_spec = P(plane_axis, None, None)
+    img_spec = P("tile", None)
+    scalar = P()
+
+    def body(res_l, mod_l, psf_l, weight_l, rms_l, coefs_all,
+             v0, x0, y0, f0):
+        ci = jax.lax.axis_index("chan")
+        ti = jax.lax.axis_index("tile")
+        r0 = ti * H_loc
+        coefs_l = jax.lax.dynamic_slice(coefs_all, (ci * N_loc,), (N_loc,))
+
+        def values_at(res_l, y, x):
+            """All-plane residual values at a global pixel: [N]."""
+            y_l = y - r0
+            own = (y_l >= 0) & (y_l < H_loc)
+            safe = jnp.clip(y_l, 0, H_loc - 1)
+            v = jnp.where(own, res_l[:, safe, x], 0.0)  # [N_loc]
+            v = jax.lax.psum(v, "tile")
+            return jax.lax.all_gather(v, "chan", tiled=True)  # [N]
+
+        def image_at(img_l, y, x):
+            y_l = y - r0
+            own = (y_l >= 0) & (y_l < H_loc)
+            safe = jnp.clip(y_l, 0, H_loc - 1)
+            return jax.lax.psum(
+                jnp.where(own, img_l[safe, x], 0.0), "tile"
+            )
+
+        def cond(state):
+            res_l, mod_l, it, value, x, y, found, diverging = state
+            ok = found & (jnp.abs(value) > first_threshold)
+            ok &= it < max_iterations
+            if stop_on_negative:
+                ok &= value >= 0.0
+            return ok & ~diverging
+
+        def step(state):
+            res_l, mod_l, it, value, x, y, found, _ = state
+            vals = values_at(res_l, y, x)  # [N]
+            if fitter is not None:
+                vv = vals.reshape(C, Pp)
+                vals = fitter.fit_and_evaluate(vv, x, y).reshape(-1)
+            peak_values = vals * gain
+            pv_l = jax.lax.dynamic_slice(
+                peak_values, (ci * N_loc,), (N_loc,)
+            )
+            y_l = y - r0
+            own = (y_l >= 0) & (y_l < H_loc)
+            safe = jnp.clip(y_l, 0, H_loc - 1)
+            mod_l = mod_l.at[:, safe, x].add(jnp.where(own, pv_l, 0.0))
+            # The kernel's local-frame peak row: height_local - y_k + p_l
+            # must equal the global padded-PSF row H - y + (r0 + p_l).
+            y_k = y - r0 - H + H_loc
+            res_l, integ_part = fused_subtract_integrate(
+                res_l,
+                psf_l,
+                pv_l,
+                coefs_l,
+                y_k,
+                x,
+                block_rows=block_rows,
+                integration_mode=mode,
+                pol_coefs=pol_t,
+                n_polarizations=Pp,
+                interpret=interpret,
+            )
+            integ = jax.lax.psum(integ_part, "chan")  # [H_loc, W]
+            if mode == "squared":
+                integ = jnp.sqrt(jnp.maximum(integ, 0.0))
+            wgt = integ * weight_l
+            cmp = jnp.abs(wgt) if allow_negative else wgt
+            flat = cmp.reshape(-1)
+            li = jnp.argmax(flat)
+            lmax = flat[li]
+            gidx = li.astype(jnp.int32) + r0 * W
+            gmax = jax.lax.pmax(jax.lax.pmax(lmax, "tile"), "chan")
+            cand = jnp.where(lmax >= gmax, gidx, -1)
+            gsel = jax.lax.pmax(jax.lax.pmax(cand, "tile"), "chan")
+            ny = (gsel // W).astype(jnp.int32)
+            nx = (gsel % W).astype(jnp.int32)
+            nfound = gmax > flt_min
+            nvalue = image_at(integ, ny, nx) * image_at(rms_l, ny, nx)
+            diverging = jnp.where(
+                divergence_limit != 0.0,
+                nfound & (jnp.abs(nvalue) > initial_abs_peak
+                          * divergence_limit),
+                False,
+            )
+            return res_l, mod_l, it + 1, nvalue, nx, ny, nfound, diverging
+
+        init = (
+            res_l, mod_l, start_iteration, v0, x0, y0, f0,
+            jnp.asarray(False),
+        )
+        res_l, mod_l, it, value, x, y, found, diverging = (
+            jax.lax.while_loop(cond, step, init)
+        )
+        return res_l, mod_l, it, value, found, diverging
+
+    sharded = _shard_map(
+        body,
+        mesh,
+        in_specs=(
+            cube_spec, cube_spec, psf_spec, img_spec, img_spec, scalar,
+            scalar, scalar, scalar, scalar,
+        ),
+        out_specs=(
+            cube_spec, cube_spec, scalar, scalar, scalar, scalar,
+        ),
+    )
+    jitted = jax.jit(sharded)
+    residual = jax.device_put(residual, NamedSharding(mesh, cube_spec))
+    model = jax.device_put(model, NamedSharding(mesh, cube_spec))
+    psf_padded = jax.device_put(psf_padded, NamedSharding(mesh, psf_spec))
+    weight = jax.device_put(weight, NamedSharding(mesh, img_spec))
+    rms_factor = jax.device_put(rms_factor, NamedSharding(mesh, img_spec))
+    return jitted(
+        residual,
+        model,
+        psf_padded,
+        weight,
+        rms_factor,
+        jnp.asarray(coefs_np),
+        jnp.float32(peak0_value),
+        jnp.int32(peak0_x),
+        jnp.int32(peak0_y),
+        jnp.asarray(peak0_found, bool),
+    )
+
+
 def shard_clean_inputs(
     mesh: Mesh,
     residual: jnp.ndarray,  # [N, H, W]

@@ -77,16 +77,11 @@ class AspAlgorithm(MultiScaleAlgorithm):
             # ``threaded_deconvolution_tools.cc:30-50``).
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            n = self.device_mesh.shape["tile"]
-            if height % n == 0:
-                dirty_set.data = jax.device_put(
-                    dirty_set.data,
-                    NamedSharding(self.device_mesh, P(None, "tile", None)),
-                )
-                model_set.data = jax.device_put(
-                    model_set.data,
-                    NamedSharding(self.device_mesh, P(None, "tile", None)),
-                )
+            # GSPMD handles non-divisible row counts (the last shard is
+            # short), so the sharding applies unconditionally.
+            rows = NamedSharding(self.device_mesh, P(None, "tile", None))
+            dirty_set.data = jax.device_put(dirty_set.data, rows)
+            model_set.data = jax.device_put(model_set.data, rows)
 
         initialize_scales(
             self.scale_infos,

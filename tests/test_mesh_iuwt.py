@@ -86,10 +86,9 @@ def test_iuwt_engine_sharding_applied():
     assert stack.sharding.spec[1] is not None
 
 
-def _run_asp(use_mesh):
+def _run_asp(use_mesh, size=256):
     # ASP needs a beam-like PSF (the centred-Gaussian fit drives the scale
     # selection); use a plain Gaussian beam rather than the ringed IUWT one.
-    size = 256
     yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
     r2 = (yy - size // 2) ** 2 + (xx - size // 2) ** 2
     psf = np.exp(-r2 / (2 * 2.5**2)).astype(np.float32)
@@ -105,14 +104,20 @@ def _run_asp(use_mesh):
     s.trimmed_image_width = size
     s.trimmed_image_height = size
     s.algorithm_type = rd.AlgorithmType.ADAPTIVE_SCALE_PIXEL
-    s.minor_iteration_count = 60
+    s.minor_iteration_count = 400
     s.major_loop_gain = 0.8
-    s.absolute_threshold = 1e-3
+    s.absolute_threshold = 5e-2
     s.parallel.use_device_mesh = use_mesh
     model = np.zeros_like(residual)
     resid = residual.copy()
     r = rd.Radler(s, psf, resid, model, 0.0)
-    r.perform(0)
+    # Drive the major loop to the absolute threshold: at convergence the
+    # chaotic per-component path differences wash out of the TOTALS (each
+    # run has removed essentially all emission above the threshold), which
+    # is what makes the flux-conservation bound meaningful.
+    major = 0
+    while r.perform(major) and major < 8:
+        major += 1
     return residual, resid, model, r.iteration_number
 
 
@@ -140,3 +145,19 @@ def test_mesh_asp_matches_single_device():
         assert float(np.abs(mdl).max()) > 0
         assert float(np.sqrt(np.mean(res**2))) < 0.8 * rms_0
     assert abs(it_m - it_1) <= max(5, it_1 // 4)
+    # Flux conservation: the chaotic per-component divergence must not
+    # change the total recovered flux — both runs clean the same emission.
+    flux_1 = float(mdl_1.sum())
+    flux_m = float(mdl_m.sum())
+    assert abs(flux_m - flux_1) <= 0.05 * abs(flux_1), (flux_1, flux_m)
+
+
+@pytest.mark.slow
+def test_mesh_asp_non_divisible_rows():
+    """Row counts that do not divide the tile axis still shard (GSPMD
+    leaves the last shard short) instead of silently running unsharded."""
+    res0, res_m, mdl_m, it_m = _run_asp(True, size=250)
+    assert it_m > 0
+    assert np.isfinite(res_m).all() and np.isfinite(mdl_m).all()
+    rms_0 = float(np.sqrt(np.mean(res0**2)))
+    assert float(np.sqrt(np.mean(res_m**2))) < 0.8 * rms_0

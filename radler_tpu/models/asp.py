@@ -77,11 +77,23 @@ class AspAlgorithm(MultiScaleAlgorithm):
             # ``threaded_deconvolution_tools.cc:30-50``).
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            # GSPMD handles non-divisible row counts (the last shard is
-            # short), so the sharding applies unconditionally.
             rows = NamedSharding(self.device_mesh, P(None, "tile", None))
-            dirty_set.data = jax.device_put(dirty_set.data, rows)
-            model_set.data = jax.device_put(model_set.data, rows)
+            n_tile = self.device_mesh.shape["tile"]
+            pad = (-height) % n_tile
+
+            def shard_rows(data):
+                if pad == 0:
+                    return jax.device_put(data, rows)
+                # Non-divisible row counts: pad onto the mesh, slice the
+                # padding back off (the sliced array keeps its mesh
+                # placement; device_put alone rejects uneven shards).
+                padded = jax.device_put(
+                    jnp.pad(data, ((0, 0), (0, pad), (0, 0))), rows
+                )
+                return padded[:, :height, :]
+
+            dirty_set.data = shard_rows(dirty_set.data)
+            model_set.data = shard_rows(model_set.data)
 
         initialize_scales(
             self.scale_infos,

@@ -32,7 +32,7 @@ from ..ops.psf_subtract import subtract_psf_from_cube
 from ..ops.convolution import untrim
 from .base import DeconvolutionAlgorithm, DeconvolutionResult
 from .subminor import SubMinorLoop, choose_padded_size
-from ..settings import OptimizationAlgorithm
+from ..settings import OptimizationAlgorithm, SpectralFittingMode
 
 
 @partial(
@@ -73,9 +73,17 @@ def _hogbom_loop(
     border_v: int,
     use_rms: bool,
     use_mask: bool,
+    forced_terms: Optional[jnp.ndarray] = None,  # [T-1, H, W] (FORCED mode
+    # inside a vmapped facet program, whose local coordinates cannot
+    # address the fitter's global term images)
 ):
     """The non-subminor minor loop (``generic_clean.cc:163-206``)."""
     psf_indices = jnp.asarray(meta.psf_indices)
+    use_forced = (
+        fitter is not None
+        and fitter.mode == SpectralFittingMode.FORCED_TERMS
+        and forced_terms is not None
+    )
 
     def refind(res):
         integrated = get_square_integrated(res, meta)
@@ -102,7 +110,10 @@ def _hogbom_loop(
         peak_values = res[:, y, x]  # [N]
         if fitter is not None:
             vals = peak_values.reshape(meta.n_channels, meta.n_polarizations)
-            peak_values = fitter.fit_and_evaluate(vals, x, y).reshape(-1)
+            tv = forced_terms[:, y, x] if use_forced else None
+            peak_values = fitter.fit_and_evaluate(
+                vals, x, y, forced_terms=tv
+            ).reshape(-1)
         peak_values = peak_values * gain
         mod = mod.at[:, y, x].add(peak_values)
         res = subtract_psf_from_cube(res, psfs, psf_indices, x, y, peak_values)
@@ -153,6 +164,7 @@ def _facet_hogbom_program(
     divergence_limit: jnp.ndarray,
     start_iteration: jnp.ndarray,
     max_iterations: jnp.ndarray,
+    forced_terms: jnp.ndarray,  # [T-1, H, W] (FORCED mode) or [1, 1, 1]
     *,
     meta: CubeMeta,
     allow_negative: bool,
@@ -198,6 +210,14 @@ def _facet_hogbom_program(
         border_v=0,
         use_rms=use_rms,
         use_mask=True,
+        forced_terms=(
+            forced_terms
+            if (
+                fitter is not None
+                and fitter.mode == SpectralFittingMode.FORCED_TERMS
+            )
+            else None
+        ),
     )
     return res, mod, it, value, found, diverging, pk.value, pk.found, m_thr
 
@@ -532,14 +552,12 @@ class GenericClean(DeconvolutionAlgorithm):
         if os.environ.get("RADLER_TPU_NO_BATCHED_FACETS"):
             return False
         if self.component_optimization_algorithm != OptimizationAlgorithm.CLEAN:
-            return False
-        from ..settings import SpectralFittingMode
-
-        if (
-            self.spectral_fitter is not None
-            and self.spectral_fitter.is_active
-            and self.spectral_fitter.mode == SpectralFittingMode.FORCED_TERMS
-        ):
+            # Component optimization replaces the clean loop with a
+            # per-facet linear solve / GD over a DATA-DEPENDENT component
+            # count (component_optimization.cc:181-400) — the counts differ
+            # per facet, so there is no common compiled shape to batch;
+            # the serial facet loop runs these (as the reference's thread
+            # pool would, one solve per sub-image).
             return False
         N, C = meta.n_images, meta.n_channels
         est = n_facets * (6 * N + C * max(n_unique_psfs, 1)) * (
@@ -561,6 +579,7 @@ class GenericClean(DeconvolutionAlgorithm):
         meta: CubeMeta,
         facet_psf_slot=None,  # [F] index into the U axis (DD PSFs)
         facet_scale_masks=None,  # unused (multiscale-only state)
+        facet_forced_terms=None,  # [F, T-1, Hb, Wb] (FORCED-mode fitter)
     ):
         """All facets' Högbom minor loops as ONE vmapped device program.
 
@@ -622,7 +641,16 @@ class GenericClean(DeconvolutionAlgorithm):
             fitter=fit,
             use_rms=use_rms,
         )
-        in_axes = (0, 0, psf_axis, 0, 0, None, None, None, None, None, 0, 0)
+        forced_axis = 0 if facet_forced_terms is not None else None
+        forced_in = (
+            jnp.asarray(facet_forced_terms)
+            if facet_forced_terms is not None
+            else jnp.zeros((1, 1, 1), jnp.float32)
+        )
+        in_axes = (
+            0, 0, psf_axis, 0, 0, None, None, None, None, None, 0, 0,
+            forced_axis,
+        )
         inputs = [
             facet_residual,
             facet_model,
@@ -636,6 +664,7 @@ class GenericClean(DeconvolutionAlgorithm):
             jnp.float32(self.divergence_limit),
             starts,
             max_iters,
+            forced_in,
         ]
         if self.device_mesh is not None and self.device_mesh.size > 1:
             # Facet x mesh composition (parallel_deconvolution.cc:606-617

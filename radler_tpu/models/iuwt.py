@@ -839,6 +839,21 @@ class IuwtDeconvolution(DeconvolutionAlgorithm):
             mesh=self.device_mesh,
         )
         result = DeconvolutionResult()
+        if self.max_iterations <= self.iteration_number:
+            # Peak-only pass (the parallel engine's phase 1,
+            # ``parallel_deconvolution.cc:582-599``): report the starting
+            # peak of the integrated dirty so the facet's divergence
+            # rollback compares against a real baseline.
+            from ..image_set import get_linear_integrated
+
+            integ = get_linear_integrated(dirty_set.data, dirty_set.meta)
+            if self.clean_mask is not None:
+                integ = integ * jnp.asarray(self.clean_mask, integ.dtype)
+            peak = float(jnp.max(jnp.abs(integ)))
+            result.starting_peak_value = peak
+            result.final_peak_value = peak
+            result.another_iteration_required = False
+            return result
         final_peak, another, iters = engine.perform_major_iteration(
             self.iteration_number,
             self.max_iterations,

@@ -1080,6 +1080,15 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
             jnp.int32(self.iteration_number),
             jnp.int32(self.max_iterations),
             jnp.int32(max(8, S * 3 // 2)),
+            (
+                fitter._forced_terms
+                if (
+                    fitter is not None
+                    and fitter.mode == SpectralFittingMode.FORCED_TERMS
+                    and fitter._forced_terms is not None
+                )
+                else jnp.zeros((1, 1, 1), jnp.float32)
+            ),
             meta=meta,
             allow_negative=self.allow_negative_components,
             stop_on_negative=self.stop_on_negative_components,
@@ -1172,14 +1181,6 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
         )
         if not self._fused_eligible(meta, box_w, box_h):
             return False
-        if (
-            self.spectral_fitter is not None
-            and self.spectral_fitter.is_active
-            and self.spectral_fitter.mode == SpectralFittingMode.FORCED_TERMS
-        ):
-            # Forced terms are per-pixel images; facet-local coordinates
-            # do not address them.
-            return False
         # The per-facet state multiplies by F where the banks stay shared.
         # The dominant per-facet terms of the spectral-residual loop
         # (multiscale_fused.py): the complex res_f at the unified padded
@@ -1225,6 +1226,7 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
         meta: CubeMeta,
         facet_psf_slot=None,  # [F] index into the U axis (DD PSFs)
         facet_scale_masks=None,  # [F, S, Hb, Wb] bool loaded per-scale masks
+        facet_forced_terms=None,  # [F, T-1, Hb, Wb] (FORCED-mode fitter)
     ):
         """All facets' minor loops as ONE vmapped device program.
 
@@ -1378,6 +1380,7 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
             0,  # start_iteration
             0,  # max_iterations
             None,  # countdown0
+            0 if facet_forced_terms is not None else None,  # forced_terms
         )
         inputs = [
             facet_residual,
@@ -1400,6 +1403,11 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
             starts,
             max_iters,
             jnp.int32(max(8, S * 3 // 2)),
+            (
+                jnp.asarray(facet_forced_terms)
+                if facet_forced_terms is not None
+                else jnp.zeros((1, 1, 1), jnp.float32)
+            ),
         ]
         if self.device_mesh is not None and self.device_mesh.size > 1:
             # Facet x mesh composition: the F axis is embarrassingly

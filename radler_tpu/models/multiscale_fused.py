@@ -288,6 +288,7 @@ def fused_multiscale_minor_loop(
     start_iteration: jnp.ndarray,  # int32
     max_iterations: jnp.ndarray,  # int32
     countdown0: jnp.ndarray,  # int32
+    forced_terms: jnp.ndarray = None,  # [T-1, H, W] (FORCED fit) or dummy
     *,
     meta: CubeMeta,
     allow_negative: bool,
@@ -387,7 +388,17 @@ def fused_multiscale_minor_loop(
                 peak_values = vals
                 if fitter is not None:
                     v = vals.reshape(meta.n_channels, meta.n_polarizations)
-                    peak_values = fitter.fit_and_evaluate(v, x, y).reshape(-1)
+                    tv = (
+                        forced_terms[:, y, x]
+                        if (
+                            fitter.mode == SpectralFittingMode.FORCED_TERMS
+                            and forced_terms is not None
+                        )
+                        else None
+                    )
+                    peak_values = fitter.fit_and_evaluate(
+                        v, x, y, forced_terms=tv
+                    ).reshape(-1)
                 peak_values = peak_values * gain
                 comp = comp.at[:, y, x].add(peak_values)
             if use_pallas:

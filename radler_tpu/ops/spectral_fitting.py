@@ -126,14 +126,17 @@ class SpectralFitter:
     # Jit-friendly application paths
     # ------------------------------------------------------------------
     def fit_and_evaluate(
-        self, values: jnp.ndarray, x=None, y=None
+        self, values: jnp.ndarray, x=None, y=None, forced_terms=None
     ) -> jnp.ndarray:
         """Replace per-channel ``values`` with the fitted curve.
 
         ``values`` has shape ``[C]`` or ``[C, P]`` (channels x pols, each
         polarization fitted independently, mirroring
         ``DeconvolutionAlgorithm::PerformSpectralFit``).  ``x``/``y`` are the
-        component position, used only in FORCED_TERMS mode.
+        component position, used only in FORCED_TERMS mode; a caller inside
+        a vmapped program (batched facets, whose facet-local coordinates do
+        not address the global term images) passes the component's term
+        vector ``forced_terms`` [T-1] directly instead.
         """
         if not self.is_active:
             return values
@@ -145,7 +148,7 @@ class SpectralFitter:
         elif self.mode == SpectralFittingMode.LOG_POLYNOMIAL:
             out = self._log_poly_fit(vals)
         elif self.mode == SpectralFittingMode.FORCED_TERMS:
-            out = self._forced_fit(vals, x, y)
+            out = self._forced_fit(vals, x, y, forced_terms)
         else:
             out = vals
         return out[:, 0] if squeeze else out
@@ -165,15 +168,18 @@ class SpectralFitter:
         fitted = jnp.exp(design @ coeffs)  # [C, P]
         return sign[None, :] * fitted
 
-    def _forced_fit(self, vals: jnp.ndarray, x, y) -> jnp.ndarray:
-        if self._forced_terms is None:
+    def _forced_fit(self, vals: jnp.ndarray, x, y, forced_terms=None):
+        if forced_terms is not None:
+            terms = forced_terms  # [T-1], caller-gathered
+        elif self._forced_terms is not None:
+            terms = self._forced_terms[:, y, x]  # [T-1]
+        else:
             raise RuntimeError("Forced terms have not been set")
-        terms = self._forced_terms[:, y, x]  # [T-1]
         lx = jnp.asarray(
             self._abscissa(self.frequencies), dtype=vals.dtype
         )  # [C] = log(nu/ref)
         powers = jnp.stack(
-            [lx ** (k + 1) for k in range(self._forced_terms.shape[0])], axis=0
+            [lx ** (k + 1) for k in range(terms.shape[0])], axis=0
         )  # [T-1, C]
         curve = jnp.exp(jnp.einsum("t,tc->c", terms, powers))  # [C]
         w = jnp.asarray(self.weights, dtype=vals.dtype)

@@ -313,10 +313,6 @@ class ParallelDeconvolution:
         alg = self.algorithms[0]
         if not hasattr(alg, "batched_facets_eligible"):
             return False
-        if self._spectrally_forced_images is not None:
-            # Forced terms are per-pixel global images; the fitter inside
-            # the fused loop addresses facet-local coordinates.
-            return False
         box_h = max(s.height for s in sub_images)
         box_w = max(s.width for s in sub_images)
         return alg.batched_facets_eligible(
@@ -442,6 +438,20 @@ class ParallelDeconvolution:
             dtype=_np.int32,
         )
 
+        # FORCED-mode spectral fitting: each facet's slice of the global
+        # term images rides the batched program (the serial path's
+        # set_spectrally_forced_images per clone).
+        facet_forced_terms = None
+        if self._spectrally_forced_images is not None:
+            T1 = self._spectrally_forced_images.shape[0]
+            forced = _np.zeros((F, T1, box_h, box_w), _np.float32)
+            forced_np = _np.asarray(self._spectrally_forced_images)
+            for f, sub in enumerate(sub_images):
+                forced[f, :, : sub.height, : sub.width] = forced_np[
+                    :, sub.y : sub.y + sub.height, sub.x : sub.x + sub.width
+                ]
+            facet_forced_terms = forced
+
         # Phase 1: peak-only pass (max-reduce over facets).
         _, _, peak_results, _, _, _ = alg.execute_batched_facets(
             res_stack,
@@ -456,6 +466,7 @@ class ParallelDeconvolution:
             data_image.meta,
             facet_psf_slot=facet_psf_slot,
             facet_scale_masks=facet_scale_masks,
+            facet_forced_terms=facet_forced_terms,
         )
         start_peak_value = 0.0
         for f, sub in enumerate(sub_images):
@@ -480,6 +491,7 @@ class ParallelDeconvolution:
                 data_image.meta,
                 facet_psf_slot=facet_psf_slot,
                 facet_scale_masks=facet_scale_masks,
+                facet_forced_terms=facet_forced_terms,
             )
         )
 

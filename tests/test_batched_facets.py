@@ -290,3 +290,96 @@ def test_batched_generic_engages(monkeypatch):
     monkeypatch.setattr(GenericClean, "execute_batched_facets", spy)
     _run_generic(True, monkeypatch)
     assert len(calls) == 2  # peak-only pass + clean pass
+
+
+def _run_forced(batched, monkeypatch, tmp_path, algorithm):
+    """Faceted run with FORCED_TERMS spectral fitting: the per-facet slices
+    of the global term images must ride the batched program (round-4 lift
+    of the forced-spectrum exclusion; the serial path slices per clone,
+    ``parallel_deconvolution.cc:359-390`` semantics)."""
+    from radler_tpu.utils.fits import write_fits_image
+
+    if batched:
+        monkeypatch.delenv("RADLER_TPU_NO_BATCHED_FACETS", raising=False)
+    else:
+        monkeypatch.setenv("RADLER_TPU_NO_BATCHED_FACETS", "1")
+    size, C = 128, 3
+    psf1 = _gaussian_psf(size)
+    psf = np.stack([psf1] * C)
+    freqs = np.array([[1.0e8, 1.1e8], [1.2e8, 1.3e8], [1.4e8, 1.5e8]])
+    centers = freqs.mean(axis=1)
+    ref = centers.mean()
+    # Spatially-varying spectral index: proves facet-LOCAL addressing of
+    # the term images (a constant alpha would hide coordinate bugs).
+    yy, xx = np.mgrid[0:size, 0:size]
+    alpha = (-1.0 + 1.2 * (xx / size) + 0.5 * (yy / size)).astype(np.float32)
+    rng = np.random.default_rng(4)
+    residual = np.zeros((C, size, size), np.float32)
+    ys = rng.integers(12, size - 12, 8)
+    xs = rng.integers(12, size - 12, 8)
+    amps = rng.uniform(0.5, 2.0, 8).astype(np.float32)
+    for c in range(C):
+        cube = np.zeros((size, size), np.float32)
+        np.add.at(
+            cube,
+            (ys, xs),
+            amps * (centers[c] / ref) ** alpha[ys, xs],
+        )
+        residual[c] = np.real(
+            np.fft.ifft2(
+                np.fft.fft2(cube) * np.fft.fft2(np.fft.ifftshift(psf1))
+            )
+        ).astype(np.float32)
+    model = np.zeros_like(residual)
+
+    terms_path = str(tmp_path / f"forced_{algorithm}_{batched}.fits")
+    write_fits_image(terms_path, alpha[None])
+    s = rd.Settings()
+    s.trimmed_image_width = size
+    s.trimmed_image_height = size
+    s.algorithm_type = (
+        rd.AlgorithmType.MULTISCALE
+        if algorithm == "multiscale"
+        else rd.AlgorithmType.GENERIC_CLEAN
+    )
+    s.generic.use_sub_minor_optimization = False
+    s.minor_iteration_count = 200
+    s.absolute_threshold = 5e-3
+    s.major_loop_gain = 0.8
+    s.multiscale.max_scales = 3
+    s.parallel.grid_width = 2
+    s.parallel.grid_height = 2
+    s.spectral_fitting.mode = rd.SpectralFittingMode.FORCED_TERMS
+    s.spectral_fitting.terms = 2
+    s.spectral_fitting.forced_filename = terms_path
+    r = rd.Radler(
+        s, psf, residual, model, 0.0, frequencies=freqs,
+        weights=np.ones(C),
+    )
+    r.perform(0)
+    return residual, model
+
+
+@pytest.mark.parametrize("algorithm", ["generic", "multiscale"])
+def test_batched_facets_forced_terms(monkeypatch, tmp_path, algorithm):
+    res_s, mdl_s = _run_forced(False, monkeypatch, tmp_path, algorithm)
+    from radler_tpu.models.generic_clean import GenericClean
+    from radler_tpu.models.multiscale import MultiScaleAlgorithm
+
+    cls = MultiScaleAlgorithm if algorithm == "multiscale" else GenericClean
+    calls = []
+    orig = cls.execute_batched_facets
+
+    def spy(self, *a, **k):
+        calls.append(1)
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(cls, "execute_batched_facets", spy)
+    res_b, mdl_b = _run_forced(True, monkeypatch, tmp_path, algorithm)
+    assert calls, "forced-terms faceted run fell back to the serial loop"
+    assert np.abs(mdl_s).max() > 0
+    np.testing.assert_allclose(res_b, res_s, atol=3e-5)
+    np.testing.assert_allclose(mdl_b, mdl_s, atol=3e-5)
+    # The cleaned spectra follow the forced power law at component pixels.
+    cpix = np.argwhere(np.abs(mdl_s[0]) > 0.1)
+    assert len(cpix) > 0

@@ -221,9 +221,10 @@ def run_multiscale(size: int, n_channels: int, n_iter: int, repeats: int = 2):
         )
         return r.iteration_number, dt
 
-    one_run()  # warm-up/compile
-    return min((one_run() for _ in range(repeats)),
+    _, cold_dt = one_run()  # warm-up/compile
+    best = min((one_run() for _ in range(repeats)),
                key=lambda r: r[1] / max(r[0], 1))
+    return best[0], best[1], cold_dt
 
 
 def run_iuwt(size: int, n_iter: int, repeats: int = 2):
@@ -255,9 +256,10 @@ def run_iuwt(size: int, n_iter: int, repeats: int = 2):
         )
         return r.iteration_number, dt
 
-    one_run()  # warm-up/compile
-    return min((one_run() for _ in range(repeats)),
+    _, cold_dt = one_run()  # warm-up/compile
+    best = min((one_run() for _ in range(repeats)),
                key=lambda r: r[1] / max(r[0], 1))
+    return best[0], best[1], cold_dt
 
 
 def run_numpy_baseline(psf, residual, n_iter: int, gain: float = 0.1):
@@ -285,18 +287,19 @@ def run_numpy_baseline(psf, residual, n_iter: int, gain: float = 0.1):
     return n_iter, dt
 
 
-def _emit(metric, ips, cpu_ips):
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(ips, 2),
-                "unit": "iterations/s",
-                "vs_baseline": round(ips / cpu_ips, 2) if cpu_ips else None,
-            }
-        ),
-        flush=True,
-    )
+def _emit(metric, ips, cpu_ips, cold_s=None, warm_s=None):
+    record = {
+        "metric": metric,
+        "value": round(ips, 2),
+        "unit": "iterations/s",
+        "vs_baseline": round(ips / cpu_ips, 2) if cpu_ips else None,
+    }
+    if cold_s is not None:
+        # Compile-time observability (cold incl. compiles vs best warm):
+        # a degraded remote-compile service shows up here, not as a hang.
+        record["cold_s"] = round(cold_s, 1)
+        record["warm_s"] = round(warm_s, 1) if warm_s is not None else None
+    print(json.dumps(record), flush=True)
     return ips, cpu_ips
 
 
@@ -339,7 +342,9 @@ def _single_config(args):
     """One explicitly requested config (the pre-round-3 CLI)."""
     if args.engine in ("multiscale", "iuwt"):
         if args.engine == "multiscale":
-            iters, dt = run_multiscale(args.size, args.channels, args.iters)
+            iters, dt, cold_dt = run_multiscale(
+                args.size, args.channels, args.iters
+            )
             if args.size == 2048 and args.channels == 8:
                 cpu_ips = RECORDED_CPU_BASELINES["multiscale_2048x8"]
             else:
@@ -349,7 +354,7 @@ def _single_config(args):
                 b_iters, b_dt = baseline_multiscale(b_psfs, b_res, args.iters)
                 cpu_ips = b_iters / b_dt if b_dt > 0 else 0.0
         else:
-            iters, dt = run_iuwt(args.size, args.iters)
+            iters, dt, cold_dt = run_iuwt(args.size, args.iters)
             cpu_ips = (
                 RECORDED_CPU_BASELINES["iuwt_4096"]
                 if args.size >= 4096
@@ -360,6 +365,8 @@ def _single_config(args):
             f"{args.engine}_minor_loop_iterations_per_s_{args.size}sq",
             ips,
             cpu_ips,
+            cold_s=cold_dt,
+            warm_s=dt,
         )
         return
 

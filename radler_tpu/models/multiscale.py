@@ -30,7 +30,6 @@ import jax.numpy as jnp
 from ..image_set import CubeMeta, get_integrated_psf, get_linear_integrated
 from ..component_list import ComponentList
 from ..ops.convolution import (
-    convolve_same,
     convolve_same_prefft,
     forward_fft2,
     inverse_fft2_real,
@@ -42,7 +41,6 @@ from ..ops.multiscale_kernels import (
     make_shape_function,
     add_shape_component,
 )
-from ..ops.noise import rms as rms_op
 from ..ops.peak_finder import _FLT_MIN, find_peak, window_mask
 from ..ops.psf_subtract import subtract_psf_from_cube
 from ..settings import (

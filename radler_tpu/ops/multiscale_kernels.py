@@ -21,7 +21,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..settings import MultiscaleShape
-from .convolution import convolve_same, untrim
+from .convolution import convolve_same
 
 
 def gaussian_sigma(scale_in_pixels: float) -> float:

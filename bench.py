@@ -170,7 +170,7 @@ def make_diffuse_problem(size: int, n_channels: int, seed: int = 5):
     return psfs, residual
 
 
-def run_multiscale(size: int, n_channels: int, n_iter: int, repeats: int = 2):
+def run_multiscale(size: int, n_channels: int, n_iter: int, repeats: int = 3):
     """Config 3: multiscale CLEAN, joined channels, polynomial spectral fit.
 
     Like the dense engine, the cubes live on device across the timed region
@@ -227,7 +227,7 @@ def run_multiscale(size: int, n_channels: int, n_iter: int, repeats: int = 2):
     return best[0], best[1], cold_dt
 
 
-def run_iuwt(size: int, n_iter: int, repeats: int = 2):
+def run_iuwt(size: int, n_iter: int, repeats: int = 3):
     """Config 4: IUWT wavelet deconvolution (warm best-of-N, see
     run_multiscale)."""
     import radler_tpu as rd

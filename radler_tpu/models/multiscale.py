@@ -152,6 +152,9 @@ def initialize_scales(
             scales.append(entry)
 
 
+_VALID_STACK_CACHE = {}
+
+
 @jax.jit
 def _scale_convolved_center_values(
     psf: jnp.ndarray, kimg_f: jnp.ndarray
@@ -399,6 +402,23 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
         invalidated at the top of :meth:`execute_major_iteration`."""
         if self._valid_stack_cache is not None:
             return self._valid_stack_cache
+        # Mask-free stacks depend only on (scales, shape, border): share the
+        # device array across algorithm instances (a fresh Radler per major
+        # iteration otherwise re-uploads ~40 MB of windows each perform).
+        global_key = None
+        if not (self.use_per_scale_masks and self.scale_masks) and (
+            self.clean_mask is None
+        ):
+            global_key = (
+                tuple(round(e.scale, 6) for e in self.scale_infos),
+                height,
+                width,
+                round(self.clean_border_ratio, 9),
+            )
+            cached = _VALID_STACK_CACHE.get(global_key)
+            if cached is not None:
+                self._valid_stack_cache = cached
+                return cached
         stack = np.zeros((len(self.scale_infos), height, width), dtype=bool)
         for i, entry in enumerate(self.scale_infos):
             x_border = int(round(width * self.clean_border_ratio))
@@ -415,6 +435,10 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
                 m = m & np.asarray(self.clean_mask)
             stack[i] = m
         self._valid_stack_cache = jnp.asarray(stack)
+        if global_key is not None:
+            if len(_VALID_STACK_CACHE) > 8:
+                _VALID_STACK_CACHE.clear()
+            _VALID_STACK_CACHE[global_key] = self._valid_stack_cache
         return self._valid_stack_cache
 
     def _find_active_scale_convolved_maxima(

@@ -228,11 +228,15 @@ def run_multiscale(size: int, n_channels: int, n_iter: int, repeats: int = 3):
 
 
 def run_iuwt(size: int, n_iter: int, repeats: int = 3):
-    """Config 4: IUWT wavelet deconvolution (warm best-of-N, see
-    run_multiscale)."""
+    """Config 4: IUWT wavelet deconvolution (warm best-of-N, device-resident
+    cubes — see run_multiscale)."""
+    import jax.numpy as jnp
     import radler_tpu as rd
 
     psfs, residual = make_diffuse_problem(size, 1)
+    psf_dev = jnp.asarray(psfs[0])
+    res_dev0 = jnp.asarray(residual[0])
+    rms0 = float(jnp.sqrt(jnp.mean(res_dev0**2)))
 
     def one_run():
         s = rd.Settings()
@@ -241,14 +245,17 @@ def run_iuwt(size: int, n_iter: int, repeats: int = 3):
         s.algorithm_type = rd.AlgorithmType.IUWT
         s.minor_iteration_count = n_iter
         s.major_loop_gain = 0.8
-        model = np.zeros_like(residual[0])
-        resid = residual[0].copy()
-        r = rd.Radler(s, psfs[0], resid, model, 0.0)
-        rms0 = float(np.sqrt(np.mean(resid**2)))
+        resid = res_dev0 + 0.0
+        model = jnp.zeros_like(resid)
+        r = rd.Radler(s, psf_dev, resid, model, 0.0)
         t0 = time.perf_counter()
         r.perform(0)
+        from radler_tpu.utils.profiling import force_sync
+
+        out_res = r._table.front.residual_accessor.array
+        force_sync(out_res)
         dt = time.perf_counter() - t0
-        rms1 = float(np.sqrt(np.mean(resid**2)))
+        rms1 = float(jnp.sqrt(jnp.mean(out_res**2)))
         print(
             f"[bench] iuwt {size}^2: {r.iteration_number} iters in "
             f"{dt:.1f}s, rms {rms0:.4f}->{rms1:.4f}",

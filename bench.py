@@ -117,10 +117,12 @@ def run_radler_tpu(psf, residual, n_iter: int, engine: str):
         r = rd.Radler(s, psf_dev, res_dev, model, 0.0)
         t0 = time.perf_counter()
         r.perform(0)
-        # Sync on the device-resident residual.
-        jax.block_until_ready(
-            r._table.front.residual_accessor.array
-        )
+        # Sync on the device-resident residual (block_until_ready returns
+        # at enqueue on remote-dispatch backends; force_sync fetches a
+        # jitted scalar, a real barrier everywhere).
+        from radler_tpu.utils.profiling import force_sync
+
+        force_sync(r._table.front.residual_accessor.array)
         dt = time.perf_counter() - t0
         return r.iteration_number, dt
 

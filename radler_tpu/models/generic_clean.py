@@ -234,6 +234,32 @@ def _ones_plane(height: int, width: int) -> jnp.ndarray:
     return _ONES_PLANES[key]
 
 
+@partial(
+    jax.jit, static_argnames=("n_tile", "allow_negative", "use_rms")
+)
+def _mesh_tile_max_count(
+    residual: jnp.ndarray,  # [N, H, W]
+    lin: jnp.ndarray,  # [N]
+    rms: jnp.ndarray,  # [H, W]
+    window: jnp.ndarray,  # [H, W] bool
+    considered_threshold: jnp.ndarray,
+    *,
+    n_tile: int,
+    allow_negative: bool,
+    use_rms: bool,
+) -> jnp.ndarray:
+    """Largest per-tile candidate count for the sharded subminor's static
+    capacity (``subminor_loop.cc:143-184`` selection, counted per row
+    shard)."""
+    integ = jnp.einsum("n,nhw->hw", lin, residual)
+    if use_rms:
+        integ = integ * rms
+    value = jnp.abs(integ) if allow_negative else integ
+    selectable = (value >= considered_threshold) & window
+    per_tile = jnp.sum(selectable.reshape(n_tile, -1), axis=1)
+    return jnp.max(per_tile)
+
+
 def _choose_block_rows(height: int, width: int, n_images: int) -> int:
     """Largest row-block that keeps the fused kernel's working set (in/out
     double buffers + PSF scratch + weight block) inside ~10 MB of the 16 MB
@@ -340,6 +366,28 @@ class GenericClean(DeconvolutionAlgorithm):
         mesh_active = (
             self.device_mesh is not None and self.device_mesh.size > 1
         )
+        if (
+            mesh_active
+            and self.use_sub_minor_optimization
+            and self._mesh_subminor_eligible(meta, height, width)
+        ):
+            # Sharded Clark subminor: each tile shard cleans its own
+            # candidate set to the shared threshold in lockstep (the
+            # reference's per-sub-image fast path,
+            # parallel_deconvolution.cc:606-617 + subminor_loop.cc:62-115).
+            return self._run_mesh_subminor(
+                dirty_set,
+                model_set,
+                psfs,
+                pk,
+                first_threshold,
+                initial_max_value,
+                iteration_counter_at_start,
+                major_iter_threshold,
+                result,
+                padded_h,
+                padded_w,
+            )
         use_subminor = self.use_sub_minor_optimization and not mesh_active
         sub: Optional[SubMinorLoop] = None
         if use_subminor:
@@ -414,8 +462,12 @@ class GenericClean(DeconvolutionAlgorithm):
                 # and the reference's exchanges are explicit collectives.
                 from ..parallel.mesh import mesh_pallas_eligible
 
+                try:
+                    compiled = jax.devices()[0].platform in ("tpu", "axon")
+                except Exception:
+                    compiled = False
                 if mesh_pallas_eligible(
-                    self.device_mesh, meta, height, width, True
+                    self.device_mesh, meta, height, width, compiled
                 ):
                     return self._run_mesh_pallas_hogbom(
                         dirty_set,
@@ -722,6 +774,156 @@ class GenericClean(DeconvolutionAlgorithm):
             platform in ("tpu", "axon")
             and width % 128 == 0
             and height % 8 == 0
+        )
+
+    def _mesh_subminor_eligible(self, meta, height: int, width: int) -> bool:
+        """Shape gates for the sharded Clark subminor: plane count divides
+        the "chan" axis without splitting a polarization group, rows divide
+        the "tile" axis.  (The XLA candidate loop has no lane-alignment
+        constraint.)  RADLER_TPU_NO_MESH_SUBMINOR=1 opts out (falls back to
+        the dense mesh Pallas loop)."""
+        import os
+
+        if os.environ.get("RADLER_TPU_NO_MESH_SUBMINOR"):
+            return False
+        mesh = self.device_mesh
+        n_chan = mesh.shape["chan"]
+        n_tile = mesh.shape["tile"]
+        N = meta.n_images
+        if N % n_chan != 0 or (N // n_chan) % meta.n_polarizations != 0:
+            return False
+        if height % n_tile != 0:
+            return False
+        return True
+
+    def _run_mesh_subminor(
+        self,
+        dirty_set,
+        model_set,
+        psfs: jnp.ndarray,
+        pk,
+        first_threshold: float,
+        initial_max_value: float,
+        iteration_counter_at_start: int,
+        major_iter_threshold: float,
+        result: DeconvolutionResult,
+        padded_h: int,
+        padded_w: int,
+    ) -> DeconvolutionResult:
+        """Sharded twin of the SubMinorLoop block in :meth:`_execute` (see
+        ``parallel/mesh.py::mesh_subminor_clean``): per-tile candidate sets
+        cleaned in lockstep to the shared threshold, then ONE sharded FFT
+        residual correction (``subminor_loop.cc:195-218``)."""
+        from ..image_set import linear_integration_coefficients
+        from ..ops.peak_finder import window_mask
+        from ..parallel.mesh import mesh_subminor_clean
+        from .subminor import _capacity_bucket, _correct_residual
+
+        meta = dirty_set.meta
+        height, width = dirty_set.height, dirty_set.width
+        mesh = self.device_mesh
+        n_tile = mesh.shape["tile"]
+        h_loc = height // n_tile
+        hb, vb = border_from_ratio(width, height, self.clean_border_ratio)
+        window_np = window_mask(height, width, hb, vb)
+        if self.clean_mask is not None:
+            window_np = window_np & np.asarray(self.clean_mask, bool)
+        use_rms = self.rms_factor_image is not None
+        rms = (
+            self.rms_factor_image
+            if use_rms
+            else _ones_plane(height, width)
+        )
+        considered_threshold = first_threshold * 0.99
+        # Per-tile candidate counts -> static capacity bucket (every tile
+        # allocates the same K; the bucket bounds jit-cache growth).  One
+        # jitted dispatch + one scalar fetch.
+        lin = jnp.asarray(
+            np.asarray(linear_integration_coefficients(meta), np.float32)
+        )
+        max_count = int(
+            _mesh_tile_max_count(
+                dirty_set.data,
+                lin,
+                rms,
+                jnp.asarray(window_np),
+                jnp.float32(considered_threshold),
+                n_tile=n_tile,
+                allow_negative=self.allow_negative_components,
+                use_rms=use_rms,
+            )
+        )
+        if max_count == 0:
+            # No pixels selected: the reference's fallback FindPeak scans a
+            # zeroed scratch and finds nothing (generic_clean.cc:156-162).
+            return self._finish_result(
+                result,
+                False,
+                None,
+                iteration_counter_at_start,
+                major_iter_threshold,
+            )
+        cap = _capacity_bucket(max_count, min(h_loc * width, 1 << 20))
+        per_image_psfs = psfs[jnp.asarray(meta.psf_indices)]
+        if per_image_psfs.shape[-2:] != (height, width):
+            per_image_psfs = untrim(per_image_psfs, height, width)
+        fit = (
+            self.spectral_fitter
+            if (
+                self.spectral_fitter is not None
+                and self.spectral_fitter.is_active
+            )
+            else None
+        )
+        delta, it, final_max, diverging_d, any_sel = mesh_subminor_clean(
+            mesh,
+            dirty_set.data,
+            per_image_psfs,
+            rms,
+            jnp.asarray(window_np),
+            considered_threshold,
+            first_threshold,
+            self.minor_loop_gain,
+            self.iteration_number,
+            self.max_iterations,
+            self.divergence_limit,
+            cap,
+            meta=meta,
+            allow_negative=self.allow_negative_components,
+            stop_on_negative=self.stop_on_negative_components,
+            fitter=fit,
+            use_rms=use_rms,
+        )
+        it_f, max_f, div_f, sel_f = np.asarray(
+            jnp.stack(
+                [
+                    it.astype(jnp.float32),
+                    final_max,
+                    diverging_d.astype(jnp.float32),
+                    any_sel.astype(jnp.float32),
+                ]
+            )
+        ).tolist()
+        self.iteration_number = int(it_f)
+        max_value = float(max_f) if bool(sel_f) else None
+        if bool(sel_f):
+            # CorrectResidualDirty: one sharded FFT convolution of the
+            # sparse model with the single-convolved PSFs.
+            dirty_set.data = _correct_residual(
+                dirty_set.data,
+                delta,
+                psfs,
+                padded_h,
+                padded_w,
+                meta.n_channels,
+            )
+            model_set.data = model_set.data + delta
+        return self._finish_result(
+            result,
+            bool(div_f),
+            max_value,
+            iteration_counter_at_start,
+            major_iter_threshold,
         )
 
     def _run_mesh_pallas_hogbom(

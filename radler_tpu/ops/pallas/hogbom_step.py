@@ -526,6 +526,38 @@ def fused_subtract_integrate(
     return new_res, integ
 
 
+def integrate_values(
+    vals: jnp.ndarray,  # [N] per-plane residual values at one pixel
+    mode: str,
+    chan_coefs: jnp.ndarray,  # [C] ("signed"/"linear": per-plane)
+    pol_coefs: jnp.ndarray,  # [P]
+    n_channels: int,
+    n_polarizations: int,
+) -> jnp.ndarray:
+    """The joined integration (``image_set.cc:309-421``) of one pixel's
+    per-plane values — the scalar twin of the kernel's in-block integration,
+    used to recover the signed comparison value at a found peak."""
+    if mode in ("signed", "linear"):
+        return jnp.einsum("n,n->", chan_coefs, vals)
+    cube = vals.reshape(n_channels, n_polarizations)
+    if mode == "normal":
+        if n_polarizations == 1:
+            per_chan = cube[:, 0]
+        else:
+            per_chan = jnp.sqrt(
+                jnp.maximum(
+                    jnp.einsum("cp,cp,p->c", cube, cube, pol_coefs), 0.0
+                )
+            )
+        return jnp.einsum("c,c->", per_chan, chan_coefs)
+    return jnp.sqrt(
+        jnp.maximum(
+            jnp.einsum("cp,cp,c,p->", cube, cube, chan_coefs, pol_coefs),
+            0.0,
+        )
+    )
+
+
 def pad_psfs(psfs: jnp.ndarray) -> jnp.ndarray:
     """Zero-pad centered PSFs [*, H, W] -> [*, 2H+8, 2W+128] so that the
     slice at (H - y, W - x) is the PSF shifted to (x, y) with edge clipping;
@@ -595,26 +627,8 @@ def hogbom_loop_pallas(
     def integrate_at(res, yy, xx):
         """The integrated (pre-rms-weight) value at one pixel, matching the
         kernel's integration mode."""
-        v = res[:, yy, xx]
-        if mode == "signed":
-            return jnp.einsum("n,n->", chan_coefs, v)
-        cube = v.reshape(C, P)
-        if mode == "normal":
-            if P == 1:
-                per_chan = cube[:, 0]
-            else:
-                per_chan = jnp.sqrt(
-                    jnp.maximum(
-                        jnp.einsum("cp,cp,p->c", cube, cube, pol_coefs), 0.0
-                    )
-                )
-            return jnp.einsum("c,c->", per_chan, chan_coefs)
-        return jnp.sqrt(
-            jnp.maximum(
-                jnp.einsum("cp,cp,c,p->", cube, cube, chan_coefs, pol_coefs),
-                0.0,
-            )
-        )
+        return integrate_values(res[:, yy, xx], mode, chan_coefs, pol_coefs,
+                                C, P)
 
     def cond(state):
         res, mod, it, value, x, y, found, diverging = state

@@ -139,15 +139,22 @@ def _shard_map(fn, mesh, in_specs, out_specs):
 
 
 def mesh_pallas_eligible(
-    mesh: Mesh, meta, height: int, width: int, use_pallas: bool
+    mesh: Mesh, meta, height: int, width: int, compiled: bool = False
 ) -> bool:
     """Whether :func:`mesh_hogbom_loop` can run this cube: plane count
     divides the "chan" axis without splitting a polarization group, rows
-    divide the "tile" axis into Pallas-friendly blocks."""
+    divide the "tile" axis into Pallas-friendly blocks.  With
+    ``compiled=True`` (a real TPU backend, not interpret mode) the width
+    must additionally be 128-lane aligned — the same tile constraint the
+    single-chip ``GenericClean._use_pallas_loop`` gate enforces; interpret
+    mode has no lane tiling, so the CPU parity tests can exercise small
+    shapes."""
     n_chan = mesh.shape["chan"]
     n_tile = mesh.shape["tile"]
     N = meta.n_images
     if N % n_chan != 0 or (N // n_chan) % meta.n_polarizations != 0:
+        return False
+    if compiled and width % 128 != 0:
         return False
     if height % n_tile != 0:
         return False
@@ -155,6 +162,215 @@ def mesh_pallas_eligible(
     if h_loc % 8 != 0:
         return False
     return True
+
+
+_MESH_LOOP_CACHE: dict = {}
+
+
+def _build_mesh_hogbom_program(
+    mesh: Mesh,
+    shape: Tuple[int, int, int],
+    psf_shape: Tuple[int, int, int],
+    *,
+    mode: str,
+    chan_t: Tuple[float, ...],
+    pol_t: Tuple[float, ...],
+    C: int,
+    Pp: int,
+    allow_negative: bool,
+    stop_on_negative: bool,
+    fitter,
+    interpret: bool,
+):
+    """Build (and cache) the jitted shard_map Högbom program for one
+    (mesh, shapes, integration config).  All run-to-run scalars (thresholds,
+    gain, iteration caps) are traced arguments, so successive major
+    iterations reuse the compiled program instead of re-tracing with new
+    baked constants."""
+    from ..ops.pallas.hogbom_step import (
+        fused_clean_step,
+        fused_subtract_integrate,
+        integrate_values,
+    )
+    from ..models.generic_clean import _choose_block_rows
+
+    N, H, W = shape
+    n_chan = mesh.shape["chan"]
+    n_tile = mesh.shape["tile"]
+    N_loc = N // n_chan
+    H_loc = H // n_tile
+    if interpret:
+        # No VMEM limit in interpreter mode — large blocks collapse the
+        # Python-level grid loop (the 8192² dryrun runs 64x fewer steps).
+        block_rows = next(
+            b for b in (512, 256, 128, 64, 32, 16, 8, H_loc)
+            if b <= H_loc and H_loc % b == 0
+        )
+    else:
+        block_rows = _choose_block_rows(H_loc, W, N_loc)
+    flt_min = jnp.float32(1.1754943508222875e-38)
+    complete = n_chan == 1  # each device holds every plane of its rows
+
+    plane_axis = "chan" if n_chan > 1 else None
+    cube_spec = P(plane_axis, "tile", None)
+    psf_spec = P(plane_axis, None, None)
+    img_spec = P("tile", None)
+    scalar = P()
+
+    def body(res_l, mod_l, psf_l, weight_l, rms_l, coefs_all,
+             v0, x0, y0, f0,
+             first_threshold, gain, initial_abs_peak, divergence_limit,
+             start_iteration, max_iterations):
+        ci = jax.lax.axis_index("chan")
+        ti = jax.lax.axis_index("tile")
+        r0 = ti * H_loc
+        coefs_l = jax.lax.dynamic_slice(coefs_all, (ci * N_loc,), (N_loc,))
+        # "squared" joins peak on a monotonic transform: argmax of
+        # sqrt(s)·w equals argmax of s·w² (w >= 0), so the channel-split
+        # path never materializes the sqrt'ed image — one multiply+argmax
+        # pass over the psum result instead of sqrt + weight + abs passes.
+        wsq_l = weight_l * weight_l if (mode == "squared" and not complete) \
+            else weight_l
+
+        def values_at(res_l, y, x):
+            """All-plane residual values at a global pixel: [N]."""
+            y_l = y - r0
+            own = (y_l >= 0) & (y_l < H_loc)
+            safe = jnp.clip(y_l, 0, H_loc - 1)
+            v = jnp.where(own, res_l[:, safe, x], 0.0)  # [N_loc]
+            v = jax.lax.psum(v, "tile")
+            return jax.lax.all_gather(v, "chan", tiled=True)  # [N]
+
+        def image_at(img_l, y, x):
+            y_l = y - r0
+            own = (y_l >= 0) & (y_l < H_loc)
+            safe = jnp.clip(y_l, 0, H_loc - 1)
+            return jax.lax.psum(
+                jnp.where(own, img_l[safe, x], 0.0), "tile"
+            )
+
+        def value_of(vals, y, x):
+            """Signed rms-weighted comparison value at a found peak, from
+            the carried per-plane values (no extra image gather)."""
+            integ = integrate_values(
+                vals, mode, jnp.asarray(chan_t), jnp.asarray(pol_t), C, Pp
+            )
+            return integ * image_at(rms_l, y, x)
+
+        def cond(state):
+            (res_l, mod_l, it, value, x, y, vals, found, diverging) = state
+            ok = found & (jnp.abs(value) > first_threshold)
+            ok &= it < max_iterations
+            if stop_on_negative:
+                ok &= value >= 0.0
+            return ok & ~diverging
+
+        def step(state):
+            res_l, mod_l, it, value, x, y, vals, found, _ = state
+            if fitter is not None:
+                vv = vals.reshape(C, Pp)
+                vals = fitter.fit_and_evaluate(vv, x, y).reshape(-1)
+            peak_values = vals * gain
+            pv_l = jax.lax.dynamic_slice(
+                peak_values, (ci * N_loc,), (N_loc,)
+            )
+            y_l = y - r0
+            own = (y_l >= 0) & (y_l < H_loc)
+            safe = jnp.clip(y_l, 0, H_loc - 1)
+            mod_l = mod_l.at[:, safe, x].add(jnp.where(own, pv_l, 0.0))
+            # The kernel's local-frame peak row: height_local - y_k + p_l
+            # must equal the global padded-PSF row H - y + (r0 + p_l).
+            y_k = y - r0 - H + H_loc
+            if complete:
+                # Full integration is local to each device (all planes of
+                # its rows): run the measured single-chip fused kernel —
+                # subtract + integrate + weighted argmax in ONE pass — and
+                # reduce only scalars over the mesh.
+                res_l, lidx, lmax = fused_clean_step(
+                    res_l,
+                    psf_l,
+                    pv_l,
+                    wsq_l,
+                    y_k,
+                    x,
+                    block_rows=block_rows,
+                    allow_negative=allow_negative,
+                    integration_mode=mode,
+                    chan_coefs=chan_t,
+                    pol_coefs=pol_t,
+                    use_weight=True,
+                    interpret=interpret,
+                )
+                gidx = lidx.astype(jnp.int32) + r0 * W
+                found_floor = flt_min
+            else:
+                res_l, integ_part = fused_subtract_integrate(
+                    res_l,
+                    psf_l,
+                    pv_l,
+                    coefs_l,
+                    y_k,
+                    x,
+                    block_rows=block_rows,
+                    integration_mode=mode,
+                    pol_coefs=pol_t,
+                    n_polarizations=Pp,
+                    interpret=interpret,
+                )
+                integ = jax.lax.psum(integ_part, "chan")  # [H_loc, W]
+                if mode == "squared":
+                    # Pre-sqrt domain: integ >= 0, weight² >= 0 — a single
+                    # fused multiply+argmax pass.
+                    cmp = integ * wsq_l
+                    found_floor = jnp.float32(0.0)
+                else:
+                    wgt = integ * wsq_l
+                    cmp = jnp.abs(wgt) if allow_negative else wgt
+                    found_floor = flt_min
+                flat = cmp.reshape(-1)
+                li = jnp.argmax(flat)
+                lmax = flat[li]
+                gidx = li.astype(jnp.int32) + r0 * W
+            gmax = jax.lax.pmax(jax.lax.pmax(lmax, "tile"), "chan")
+            cand = jnp.where(lmax >= gmax, gidx, -1)
+            gsel = jax.lax.pmax(jax.lax.pmax(cand, "tile"), "chan")
+            ny = (gsel // W).astype(jnp.int32)
+            nx = (gsel % W).astype(jnp.int32)
+            nfound = gmax > found_floor
+            nvals = values_at(res_l, ny, nx)
+            nvalue = value_of(nvals, ny, nx)
+            diverging = jnp.where(
+                divergence_limit != 0.0,
+                nfound & (jnp.abs(nvalue) > initial_abs_peak
+                          * divergence_limit),
+                False,
+            )
+            return (res_l, mod_l, it + 1, nvalue, nx, ny, nvals, nfound,
+                    diverging)
+
+        vals0 = values_at(res_l, y0, x0)
+        init = (
+            res_l, mod_l, start_iteration, v0, x0, y0, vals0, f0,
+            jnp.asarray(False),
+        )
+        res_l, mod_l, it, value, x, y, vals, found, diverging = (
+            jax.lax.while_loop(cond, step, init)
+        )
+        return res_l, mod_l, it, value, found, diverging
+
+    sharded = _shard_map(
+        body,
+        mesh,
+        in_specs=(
+            cube_spec, cube_spec, psf_spec, img_spec, img_spec, scalar,
+            scalar, scalar, scalar, scalar,
+            scalar, scalar, scalar, scalar, scalar, scalar,
+        ),
+        out_specs=(
+            cube_spec, cube_spec, scalar, scalar, scalar, scalar,
+        ),
+    )
+    return jax.jit(sharded), cube_spec, psf_spec, img_spec
 
 
 def mesh_hogbom_loop(
@@ -184,158 +400,63 @@ def mesh_hogbom_loop(
     """The measured fused Pallas Högbom loop, partitioned over the
     ("chan", "tile") mesh with ``shard_map``.
 
-    Per minor iteration each device runs :func:`fused_subtract_integrate`
-    on its row-block of its channel planes (the same streamed
-    subtract+integrate pass measured single-chip) and the reference's four
-    exchange patterns (SURVEY.md §2.2) become explicit collectives:
+    Per minor iteration each device runs the fused Pallas pass on its
+    row-block of its channel planes and the reference's four exchange
+    patterns (SURVEY.md §2.2) become explicit collectives:
 
-    * the joined integration is a ``psum`` of the shard's additive part
-      over "chan" (one [H/T, W] block per iteration, ICI);
+    * when the mesh has no channel split, each device's integration is
+      complete, so the single-chip fused kernel (subtract + integrate +
+      weighted argmax in one pass) runs shard-local and only SCALARS cross
+      the mesh — the ``pmax`` argmax pair and the [N] peak-value gather;
+    * with a channel split, the joined integration is a ``psum`` of the
+      shard's additive part over "chan" (one [H/T, W] block per iteration,
+      ICI), followed by one fused multiply+argmax pass (sqrt-free for
+      squared joins — argmax of sqrt(s)·w == argmax of s·w²);
     * the global argmax is a ``pmax`` pair over both axes (scalars);
     * the peak's per-plane values are a masked gather + ``psum`` over
-      "tile" + ``all_gather`` over "chan" ([N] scalars, for the spectral
-      fit every device evaluates identically);
+      "tile" + ``all_gather`` over "chan" ([N] scalars, carried in the
+      loop state so the comparison value needs no further image gather);
     * the threshold/stop predicate needs no exchange — every device holds
       the same scalars after the reductions.
 
     Same contract as ``hogbom_loop_pallas``; returns
     ``(residual, model, iterations, value, found, diverging)``.
     """
-    from ..ops.pallas.hogbom_step import (
-        fused_subtract_integrate,
-        integration_coefficients,
-    )
-    from ..models.generic_clean import _choose_block_rows
+    from ..ops.pallas.hogbom_step import integration_coefficients
 
     N, H, W = residual.shape
-    n_chan = mesh.shape["chan"]
-    n_tile = mesh.shape["tile"]
-    N_loc = N // n_chan
-    H_loc = H // n_tile
     C, Pp = meta.n_channels, meta.n_polarizations
     mode, chan_np, pol_np = integration_coefficients(meta)
+    chan_t = tuple(float(v) for v in chan_np)
     pol_t = tuple(float(v) for v in pol_np)
     # Per-plane channel coefficients (plane n carries its channel's coef).
     if mode == "signed":
         coefs_np = np.asarray(chan_np, np.float32)
     else:
         coefs_np = np.repeat(np.asarray(chan_np, np.float32), Pp)
-    block_rows = _choose_block_rows(H_loc, W, N_loc)
-    flt_min = jnp.float32(1.1754943508222875e-38)
 
-    plane_axis = "chan" if n_chan > 1 else None
-    cube_spec = P(plane_axis, "tile", None)
-    psf_spec = P(plane_axis, None, None)
-    img_spec = P("tile", None)
-    scalar = P()
-
-    def body(res_l, mod_l, psf_l, weight_l, rms_l, coefs_all,
-             v0, x0, y0, f0):
-        ci = jax.lax.axis_index("chan")
-        ti = jax.lax.axis_index("tile")
-        r0 = ti * H_loc
-        coefs_l = jax.lax.dynamic_slice(coefs_all, (ci * N_loc,), (N_loc,))
-
-        def values_at(res_l, y, x):
-            """All-plane residual values at a global pixel: [N]."""
-            y_l = y - r0
-            own = (y_l >= 0) & (y_l < H_loc)
-            safe = jnp.clip(y_l, 0, H_loc - 1)
-            v = jnp.where(own, res_l[:, safe, x], 0.0)  # [N_loc]
-            v = jax.lax.psum(v, "tile")
-            return jax.lax.all_gather(v, "chan", tiled=True)  # [N]
-
-        def image_at(img_l, y, x):
-            y_l = y - r0
-            own = (y_l >= 0) & (y_l < H_loc)
-            safe = jnp.clip(y_l, 0, H_loc - 1)
-            return jax.lax.psum(
-                jnp.where(own, img_l[safe, x], 0.0), "tile"
-            )
-
-        def cond(state):
-            res_l, mod_l, it, value, x, y, found, diverging = state
-            ok = found & (jnp.abs(value) > first_threshold)
-            ok &= it < max_iterations
-            if stop_on_negative:
-                ok &= value >= 0.0
-            return ok & ~diverging
-
-        def step(state):
-            res_l, mod_l, it, value, x, y, found, _ = state
-            vals = values_at(res_l, y, x)  # [N]
-            if fitter is not None:
-                vv = vals.reshape(C, Pp)
-                vals = fitter.fit_and_evaluate(vv, x, y).reshape(-1)
-            peak_values = vals * gain
-            pv_l = jax.lax.dynamic_slice(
-                peak_values, (ci * N_loc,), (N_loc,)
-            )
-            y_l = y - r0
-            own = (y_l >= 0) & (y_l < H_loc)
-            safe = jnp.clip(y_l, 0, H_loc - 1)
-            mod_l = mod_l.at[:, safe, x].add(jnp.where(own, pv_l, 0.0))
-            # The kernel's local-frame peak row: height_local - y_k + p_l
-            # must equal the global padded-PSF row H - y + (r0 + p_l).
-            y_k = y - r0 - H + H_loc
-            res_l, integ_part = fused_subtract_integrate(
-                res_l,
-                psf_l,
-                pv_l,
-                coefs_l,
-                y_k,
-                x,
-                block_rows=block_rows,
-                integration_mode=mode,
-                pol_coefs=pol_t,
-                n_polarizations=Pp,
-                interpret=interpret,
-            )
-            integ = jax.lax.psum(integ_part, "chan")  # [H_loc, W]
-            if mode == "squared":
-                integ = jnp.sqrt(jnp.maximum(integ, 0.0))
-            wgt = integ * weight_l
-            cmp = jnp.abs(wgt) if allow_negative else wgt
-            flat = cmp.reshape(-1)
-            li = jnp.argmax(flat)
-            lmax = flat[li]
-            gidx = li.astype(jnp.int32) + r0 * W
-            gmax = jax.lax.pmax(jax.lax.pmax(lmax, "tile"), "chan")
-            cand = jnp.where(lmax >= gmax, gidx, -1)
-            gsel = jax.lax.pmax(jax.lax.pmax(cand, "tile"), "chan")
-            ny = (gsel // W).astype(jnp.int32)
-            nx = (gsel % W).astype(jnp.int32)
-            nfound = gmax > flt_min
-            nvalue = image_at(integ, ny, nx) * image_at(rms_l, ny, nx)
-            diverging = jnp.where(
-                divergence_limit != 0.0,
-                nfound & (jnp.abs(nvalue) > initial_abs_peak
-                          * divergence_limit),
-                False,
-            )
-            return res_l, mod_l, it + 1, nvalue, nx, ny, nfound, diverging
-
-        init = (
-            res_l, mod_l, start_iteration, v0, x0, y0, f0,
-            jnp.asarray(False),
-        )
-        res_l, mod_l, it, value, x, y, found, diverging = (
-            jax.lax.while_loop(cond, step, init)
-        )
-        return res_l, mod_l, it, value, found, diverging
-
-    sharded = _shard_map(
-        body,
-        mesh,
-        in_specs=(
-            cube_spec, cube_spec, psf_spec, img_spec, img_spec, scalar,
-            scalar, scalar, scalar, scalar,
-        ),
-        out_specs=(
-            cube_spec, cube_spec, scalar, scalar, scalar, scalar,
-        ),
+    key = (
+        mesh, (N, H, W), tuple(psf_padded.shape), mode, chan_t, pol_t,
+        C, Pp, allow_negative, stop_on_negative, fitter, interpret,
     )
-    jitted = jax.jit(sharded)
+    cached = _MESH_LOOP_CACHE.get(key)
+    if cached is None:
+        cached = _build_mesh_hogbom_program(
+            mesh,
+            (N, H, W),
+            tuple(psf_padded.shape),
+            mode=mode,
+            chan_t=chan_t,
+            pol_t=pol_t,
+            C=C,
+            Pp=Pp,
+            allow_negative=allow_negative,
+            stop_on_negative=stop_on_negative,
+            fitter=fitter,
+            interpret=interpret,
+        )
+        _MESH_LOOP_CACHE[key] = cached
+    jitted, cube_spec, psf_spec, img_spec = cached
     residual = jax.device_put(residual, NamedSharding(mesh, cube_spec))
     model = jax.device_put(model, NamedSharding(mesh, cube_spec))
     psf_padded = jax.device_put(psf_padded, NamedSharding(mesh, psf_spec))
@@ -352,6 +473,282 @@ def mesh_hogbom_loop(
         jnp.int32(peak0_x),
         jnp.int32(peak0_y),
         jnp.asarray(peak0_found, bool),
+        jnp.float32(first_threshold),
+        jnp.float32(gain),
+        jnp.float32(initial_abs_peak),
+        jnp.float32(divergence_limit),
+        jnp.int32(start_iteration),
+        jnp.int32(max_iterations),
+    )
+
+
+_MESH_SUBMINOR_CACHE: dict = {}
+
+
+def _build_mesh_subminor_program(
+    mesh: Mesh,
+    shape: Tuple[int, int, int],
+    cap: int,
+    *,
+    C: int,
+    Pp: int,
+    allow_negative: bool,
+    stop_on_negative: bool,
+    fitter,
+    use_rms: bool,
+):
+    """Build (and cache) the sharded Clark-subminor program.
+
+    The reference's faceted fast path: each sub-image gathers its own
+    candidate set and cleans it *independently* to the shared global
+    threshold (``subminor_loop.cc:62-115,143-184`` run per sub-image under
+    ``parallel_deconvolution.cc:606-617``).  Here each "tile" shard of the
+    ("chan", "tile") mesh owns the candidates in its rows; the chan shards
+    of a tile cooperate per iteration with a [K] ``psum`` (integrated
+    scratch) and an [N] ``all_gather`` (the winner's per-plane values), and
+    the whole mesh runs in lockstep until every tile is below threshold
+    (one scalar any-reduce per iteration).  Candidate coordinates within a
+    tile are identical across its chan group by construction (they derive
+    from the psum'd integrated image).
+
+    Returns the jitted program; see :func:`mesh_subminor_clean`.
+    """
+    from ..ops.pallas.hogbom_step import integrate_values  # noqa: F401
+
+    N, H, W = shape
+    n_chan = mesh.shape["chan"]
+    n_tile = mesh.shape["tile"]
+    N_loc = N // n_chan
+    H_loc = H // n_tile
+    neg_inf = jnp.float32(-jnp.inf)
+
+    plane_axis = "chan" if n_chan > 1 else None
+    cube_spec = P(plane_axis, "tile", None)
+    # The candidate-offset PSF gather indexes GLOBAL rows: each device
+    # needs the full spatial extent of its plane shard.
+    psf_spec = P(plane_axis, None, None)
+    img_spec = P("tile", None)
+    scalar = P()
+
+    def body(res_l, psf_l, rms_l, window_l, lin_all,
+             considered_threshold, threshold, gain,
+             start_iteration, max_iterations, divergence_limit):
+        ci = jax.lax.axis_index("chan")
+        ti = jax.lax.axis_index("tile")
+        r0 = ti * H_loc
+        lin_l = jax.lax.dynamic_slice(lin_all, (ci * N_loc,), (N_loc,))
+
+        # ---- candidate selection (subminor_loop.cc:143-184) -------------
+        integ = jax.lax.psum(
+            jnp.einsum("n,nhw->hw", lin_l, res_l), "chan"
+        )
+        if use_rms:
+            integ = integ * rms_l
+        value = jnp.abs(integ) if allow_negative else integ
+        selectable = (value >= considered_threshold) & window_l
+        flat = jnp.where(selectable, value, neg_inf).reshape(-1)
+        # Brightest-first capped gather: with overflow, dropping the
+        # dimmest pixels matches the reference's behavior of never visiting
+        # below-threshold set members.
+        _, idx = jax.lax.top_k(flat, cap)
+        sel = jnp.take(selectable.reshape(-1), idx)
+        valid = sel
+        idx_c = jnp.maximum(idx, 0)
+        xs = (idx_c % W).astype(jnp.int32)
+        ys_l = (idx_c // W).astype(jnp.int32)  # local row frame
+        ys = ys_l + r0  # global rows (PSF offsets)
+        res_k = res_l[:, ys_l, xs] * valid[None, :]  # [N_loc, K]
+        rms_k = rms_l[ys_l, xs] if use_rms else jnp.ones((cap,), jnp.float32)
+
+        def get_max(res_k):
+            scratch = jax.lax.psum(
+                jnp.einsum("n,nk->k", lin_l, res_k), "chan"
+            ) * rms_k
+            v = jnp.abs(scratch) if allow_negative else scratch
+            masked = jnp.where(valid, v, neg_inf)
+            m = jnp.argmax(masked)
+            return m, scratch[m]
+
+        m0, max0 = get_max(res_k)
+        has_any = jnp.any(valid)
+        max_at_start = jnp.abs(max0)
+
+        def tile_ok(it, max_val, diverging):
+            ok = has_any & (jnp.abs(max_val) > threshold)
+            ok &= it < max_iterations
+            if stop_on_negative:
+                ok &= max_val >= 0.0
+            return ok & ~diverging
+
+        def cond(state):
+            res_k, mod_k, it, m, max_val, diverging = state
+            ok = tile_ok(it, max_val, diverging)
+            # Lockstep: iterate while ANY tile is above threshold.
+            return jax.lax.psum(
+                jax.lax.psum(ok.astype(jnp.int32), "tile"), "chan"
+            ) > 0
+
+        def step(state):
+            res_k, mod_k, it, m, max_val, diverging = state
+            do = tile_ok(it, max_val, diverging)
+            vals_l = res_k[:, m]  # [N_loc]
+            vals = jax.lax.all_gather(vals_l, "chan", tiled=True)  # [N]
+            x = xs[m]
+            y = ys[m]
+            if fitter is not None:
+                vv = vals.reshape(C, Pp)
+                vals = fitter.fit_and_evaluate(vv, x, y).reshape(-1)
+            component = vals * gain
+            pv_l = jax.lax.dynamic_slice(component, (ci * N_loc,), (N_loc,))
+            gate = do.astype(jnp.float32)
+            mod_k = mod_k.at[:, m].add(pv_l * gate)
+            # Twice-convolved-PSF values at every candidate relative to the
+            # component (subminor_loop.cc:91-105; image-size indexing).
+            dyp = ys - y + H // 2
+            dxp = xs - x + W // 2
+            inb = (
+                (dyp >= 0) & (dyp < H) & (dxp >= 0) & (dxp < W) & valid
+            )
+            psf_vals = psf_l[
+                :,
+                jnp.clip(dyp, 0, H - 1),
+                jnp.clip(dxp, 0, W - 1),
+            ]  # [N_loc, K]
+            psf_vals = jnp.where(inb[None, :], psf_vals, 0.0)
+            res_k = res_k - psf_vals * (pv_l * gate)[:, None]
+            m2, max2 = get_max(res_k)
+            diverging = diverging | jnp.where(
+                divergence_limit != 0.0,
+                do & (jnp.abs(max2) > max_at_start * divergence_limit),
+                False,
+            )
+            return (
+                res_k,
+                mod_k,
+                it + do.astype(jnp.int32),
+                m2,
+                jnp.where(do, max2, max_val),
+                diverging,
+            )
+
+        init = (
+            res_k,
+            jnp.zeros_like(res_k),
+            start_iteration,
+            m0,
+            max0,
+            jnp.asarray(False),
+        )
+        res_k, mod_k, it, m, max_val, diverging = jax.lax.while_loop(
+            cond, step, init
+        )
+        # Scatter the per-candidate model into this shard's cube rows.
+        mod_full = jnp.zeros((N_loc, H_loc, W), jnp.float32)
+        mod_full = mod_full.at[:, ys_l, xs].add(
+            mod_k * valid[None, :].astype(jnp.float32)
+        )
+        # Iterations: summed over tiles (the reference's per-sub-image
+        # counters aggregate the same way); identical within a chan group.
+        tile_iters = (it - start_iteration) * (ci == 0).astype(jnp.int32)
+        total_iters = start_iteration + jax.lax.psum(
+            jax.lax.psum(tile_iters, "tile"), "chan"
+        )
+        gmax = jax.lax.pmax(jax.lax.pmax(jnp.abs(max_val), "tile"), "chan")
+        signed = jnp.where(jnp.abs(max_val) >= gmax, max_val, neg_inf)
+        gmax_signed = jax.lax.pmax(jax.lax.pmax(signed, "tile"), "chan")
+        any_div = jax.lax.pmax(
+            jax.lax.pmax(diverging.astype(jnp.int32), "tile"), "chan"
+        ) > 0
+        any_sel = jax.lax.pmax(
+            jax.lax.pmax(has_any.astype(jnp.int32), "tile"), "chan"
+        ) > 0
+        return mod_full, total_iters, gmax_signed, any_div, any_sel
+
+    sharded = _shard_map(
+        body,
+        mesh,
+        in_specs=(
+            cube_spec, psf_spec, img_spec, img_spec, scalar,
+            scalar, scalar, scalar, scalar, scalar, scalar,
+        ),
+        out_specs=(cube_spec, scalar, scalar, scalar, scalar),
+    )
+    return jax.jit(sharded)
+
+
+def mesh_subminor_clean(
+    mesh: Mesh,
+    residual: jnp.ndarray,  # [N, H, W] sharded or host
+    twice_psfs: jnp.ndarray,  # [N, H, W] per-plane twice-convolved PSFs
+    rms_factor: jnp.ndarray,  # [H, W] (ones when unused)
+    window: jnp.ndarray,  # [H, W] bool: border window AND mask
+    considered_threshold: jnp.ndarray,
+    threshold: jnp.ndarray,
+    gain: jnp.ndarray,
+    start_iteration: jnp.ndarray,
+    max_iterations: jnp.ndarray,
+    divergence_limit: jnp.ndarray,
+    cap: int,
+    *,
+    meta,
+    allow_negative: bool,
+    stop_on_negative: bool,
+    fitter,
+    use_rms: bool,
+):
+    """Sharded Clark subminor (see :func:`_build_mesh_subminor_program`).
+
+    Returns ``(model_delta [N, H, W] sharded, iterations, final_max,
+    diverging, any_selected)``; the caller subtracts
+    ``model_delta ⊛ psf`` from the full residual (the reference's
+    ``CorrectResidualDirty``, one sharded FFT convolution) and adds
+    ``model_delta`` to the model cube.
+    """
+    from ..image_set import linear_integration_coefficients
+
+    N, H, W = residual.shape
+    C, Pp = meta.n_channels, meta.n_polarizations
+    lin_np = np.asarray(linear_integration_coefficients(meta), np.float32)
+    key = (
+        mesh, (N, H, W), cap, C, Pp, allow_negative, stop_on_negative,
+        fitter, use_rms,
+    )
+    prog = _MESH_SUBMINOR_CACHE.get(key)
+    if prog is None:
+        prog = _build_mesh_subminor_program(
+            mesh,
+            (N, H, W),
+            cap,
+            C=C,
+            Pp=Pp,
+            allow_negative=allow_negative,
+            stop_on_negative=stop_on_negative,
+            fitter=fitter,
+            use_rms=use_rms,
+        )
+        _MESH_SUBMINOR_CACHE[key] = prog
+    n_chan = mesh.shape["chan"]
+    plane_axis = "chan" if n_chan > 1 else None
+    cube_sh = NamedSharding(mesh, P(plane_axis, "tile", None))
+    img_sh = NamedSharding(mesh, P("tile", None))
+    residual = jax.device_put(residual, cube_sh)
+    twice_psfs = jax.device_put(
+        twice_psfs, NamedSharding(mesh, P(plane_axis, None, None))
+    )
+    rms_factor = jax.device_put(rms_factor, img_sh)
+    window = jax.device_put(window, img_sh)
+    return prog(
+        residual,
+        twice_psfs,
+        rms_factor,
+        window,
+        jnp.asarray(lin_np),
+        jnp.float32(considered_threshold),
+        jnp.float32(threshold),
+        jnp.float32(gain),
+        jnp.int32(start_iteration),
+        jnp.int32(max_iterations),
+        jnp.float32(divergence_limit),
     )
 
 
@@ -490,85 +887,121 @@ def shard_facet_inputs(mesh: Mesh, arrays, facet_axes):
 def dryrun_large_sharded(n_devices: int, size: int = 8192, c: int = 2,
                          p: int = 4, n_steps: int = 1) -> float:
     """Memory-sharded large-shape proof for the config-5 scale story
-    (BASELINE.md config 5: 8192² × many channels × 4 Stokes).
+    (BASELINE.md config 5: 8192² × many channels × 4 Stokes), running the
+    MEASURED program: :func:`mesh_hogbom_loop` — the fused Pallas
+    subtract+integrate(+argmax) step under ``shard_map`` with the
+    reference's four exchange patterns as explicit collectives.
 
     The cube is constructed SHARDED via ``jax.make_array_from_callback`` —
-    each device materializes only its own [c/chan, p, size/tile, size]
-    shard, so the full cube never exists on any single device (the whole
-    point of the mesh layer at 60K²-class sizes,
-    ``/root/reference/cpp/settings.h:63-70``).  A few fully-sharded clean
-    steps then run over it (channel psum + global argmax max-reduce +
-    broadcast update riding the mesh).  Returns the final peak.
+    each device materializes only its own shard, so the full cube never
+    exists on any single device (the whole point of the mesh layer at
+    60K²-class sizes, ``/root/reference/cpp/settings.h:63-70``).  Returns
+    the final peak comparison value.
     """
-    mesh = make_mesh(n_devices, n_channels=c)
-    sharding = cube_sharding(mesh)
-    shape = (c, p, size, size)
+    from ..image_set import CubeMeta
 
-    def make_shard(index):
-        # Per-shard synthetic residual: deterministic, cheap, non-trivial.
-        rows = np.arange(size)[index[2]]
-        cols = np.arange(size)[index[3]]
+    mesh = make_mesh(n_devices, n_channels=c)
+    n_chan = mesh.shape["chan"]
+    n_tile = mesh.shape["tile"]
+    N = c * p
+    H = W = size
+    meta = CubeMeta(
+        n_channels=c,
+        n_polarizations=p,
+        weights=(1.0,) * c,
+        linked=(True,) * p,
+        polarization_norm_factor=float(p),
+        squared_joins=True,
+        frequencies=tuple(1e8 + 1e7 * i for i in range(c)),
+    )
+    assert mesh_pallas_eligible(mesh, meta, H, W), (mesh.shape, N, H)
+    plane_axis = "chan" if n_chan > 1 else None
+    cube_sh = NamedSharding(mesh, P(plane_axis, "tile", None))
+    img_sh = NamedSharding(mesh, P("tile", None))
+    psf_sh = NamedSharding(mesh, P(plane_axis, None, None))
+    cy, cx = size // 2, size // 4
+
+    def res_shard(index):
+        planes = np.arange(N)[index[0]]
+        rows = np.arange(H)[index[1]]
+        cols = np.arange(W)[index[2]]
         block = (
-            np.sin(rows[:, None] * 0.37)[None, None]
-            * np.cos(cols[None, :] * 0.23)[None, None]
+            np.sin(rows[:, None] * 0.37) * np.cos(cols[None, :] * 0.23)
         ).astype(np.float32) * 0.01
-        chans = np.arange(c)[index[0]]
         out = np.broadcast_to(
-            block, (len(chans), p, len(rows), len(cols))
+            block[None], (len(planes), len(rows), len(cols))
         ).copy()
-        # One bright source, owned by whichever shard contains the center.
-        cy, cx = size // 2, size // 4
-        if rows[0] <= cy < rows[-1] + 1 and cols[0] <= cx < cols[-1] + 1:
-            out[:, :, cy - rows[0], cx - cols[0]] = 1.0
+        # One bright source, owned by whichever shard contains it.
+        if rows[0] <= cy <= rows[-1] and cols[0] <= cx <= cols[-1]:
+            out[:, cy - rows[0], cx - cols[0]] = 1.0
         return out
 
-    residual = jax.make_array_from_callback(shape, sharding, make_shard)
-    # No addressable shard holds the full cube.
-    full_elems = int(np.prod(shape))
+    residual = jax.make_array_from_callback((N, H, W), cube_sh, res_shard)
+    full_elems = N * H * W
     for s in residual.addressable_shards:
         assert int(np.prod(s.data.shape)) < full_elems, (
             "cube materialized unsharded on a device"
         )
-    # Model and PSF are also constructed per shard (a full-size host array
-    # followed by device_put would both materialize the cube unsharded and
-    # dominate the dry run's wall time).
     model = jax.make_array_from_callback(
-        shape, sharding, lambda idx: np.zeros(
-            tuple(
-                len(np.arange(shape[d])[idx[d]]) for d in range(len(shape))
-            ),
+        (N, H, W), cube_sh,
+        lambda idx: np.zeros(
+            tuple(len(np.arange((N, H, W)[d])[idx[d]]) for d in range(3)),
             np.float32,
-        )
+        ),
     )
+
+    # pad_psfs layout of a centered delta PSF: the peak lands at padded
+    # (H, W); built per shard so no device holds more than its plane slice.
+    PH, PW = 2 * H + 8, 2 * W + 128
 
     def psf_shard(index):
-        rows = np.arange(size)[index[1]]
-        cols = np.arange(size)[index[2]]
-        chans = np.arange(c)[index[0]]
-        out = np.zeros((len(chans), len(rows), len(cols)), np.float32)
-        if (
-            rows[0] <= size // 2 <= rows[-1]
-            and cols[0] <= size // 2 <= cols[-1]
-        ):
-            out[:, size // 2 - rows[0], size // 2 - cols[0]] = 1.0
+        planes = np.arange(N)[index[0]]
+        rows = np.arange(PH)[index[1]]
+        cols = np.arange(PW)[index[2]]
+        out = np.zeros((len(planes), len(rows), len(cols)), np.float32)
+        if rows[0] <= H <= rows[-1] and cols[0] <= W <= cols[-1]:
+            out[:, H - rows[0], W - cols[0]] = 1.0
         return out
 
-    psf = jax.make_array_from_callback(
-        (c, size, size),
-        NamedSharding(mesh, P("chan", None, None)),
-        psf_shard,
+    psf_padded = jax.make_array_from_callback((N, PH, PW), psf_sh, psf_shard)
+    ones_img = jax.make_array_from_callback(
+        (H, W), img_sh,
+        lambda idx: np.ones(
+            (len(np.arange(H)[idx[0]]), len(np.arange(W)[idx[1]])),
+            np.float32,
+        ),
     )
-    weights = jax.device_put(
-        jnp.full((c,), 1.0 / c, jnp.float32), replicated(mesh)
+    try:
+        compiled = jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        compiled = False
+    res, mod, it, value, found, diverging = mesh_hogbom_loop(
+        mesh,
+        residual,
+        model,
+        psf_padded,
+        ones_img,
+        ones_img,
+        jnp.float32(2.0),
+        jnp.int32(cx),
+        jnp.int32(cy),
+        jnp.asarray(True),
+        jnp.float32(1e-4),
+        jnp.float32(0.5),
+        jnp.float32(2.0),
+        jnp.float32(0.0),
+        jnp.int32(0),
+        jnp.int32(n_steps),
+        meta=meta,
+        allow_negative=True,
+        stop_on_negative=False,
+        fitter=None,
+        interpret=not compiled,
     )
-    peak = None
-    with mesh:
-        for _ in range(n_steps):
-            residual, model, peak = sharded_clean_step(
-                residual, model, psf, weights, jnp.float32(0.5)
-            )
-        jax.block_until_ready(residual)
-    return float(peak)
+    jax.block_until_ready(res)
+    assert int(it) == n_steps, (int(it), n_steps)
+    assert bool(found) and not bool(diverging)
+    return float(value)
 
 
 def dryrun_step(n_devices: int) -> float:

@@ -101,7 +101,7 @@ def _run_pair(meta, psfs, res, n_iter=40):
     )
     mesh = make_mesh(n_channels=meta.n_channels)
     assert mesh.size == 8, mesh
-    assert mesh_pallas_eligible(mesh, meta, H, W, True)
+    assert mesh_pallas_eligible(mesh, meta, H, W)
     got = mesh_hogbom_loop(
         mesh,
         jnp.asarray(res),

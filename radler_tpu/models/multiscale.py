@@ -256,6 +256,12 @@ def _scale_maxima_jit(
 class MultiScaleAlgorithm(DeconvolutionAlgorithm):
     """``cpp/algorithms/multiscale_algorithm.{h,cc}``."""
 
+    # Compile-watchdog degradation state (utils/watchdog.py): a timed-out
+    # fused compile first retries the single-bucket program, then pins the
+    # instance to the host-orchestrated path.
+    _fused_disabled = False
+    _force_single_bucket = False
+
     def __init__(
         self,
         settings: MultiscaleSettings,
@@ -572,8 +578,29 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
             self._run_full_component_fitter(dirty_set, model_set, psfs)
             return result
 
-        if self._fused_eligible(meta, width, height):
-            return self._execute_fused(dirty_set, model_set, psfs, result)
+        if not self._fused_disabled and self._fused_eligible(
+            meta, width, height
+        ):
+            from ..utils.watchdog import CompileTimeoutError
+
+            try:
+                return self._execute_fused(dirty_set, model_set, psfs, result)
+            except CompileTimeoutError as err:
+                # Degraded compiler service: first retry the smaller
+                # single-bucket program, then degrade to the
+                # host-orchestrated path (both produce the same numerics;
+                # only throughput suffers).
+                if not self._force_single_bucket:
+                    log.warn(f"{err}; retrying single-bucket program")
+                    self._force_single_bucket = True
+                    try:
+                        return self._execute_fused(
+                            dirty_set, model_set, psfs, result
+                        )
+                    except CompileTimeoutError as err2:
+                        err = err2
+                log.warn(f"{err}; using the host-orchestrated path")
+                self._fused_disabled = True
 
         has_hit_threshold_in_sub_loop = False
         threshold_countdown = max(8, len(self.scale_infos) * 3 // 2)
@@ -815,8 +842,9 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
         pb = sizes[-1]
         # RADLER_TPU_MS_BUCKETS=1 opts out of the two-bucket lax.cond (one
         # unified size = the largest scale's; smaller program, slower).
+        # The compile watchdog sets _force_single_bucket on timeout.
         n_buckets = int(os.environ.get("RADLER_TPU_MS_BUCKETS", "2"))
-        if n_buckets < 2:
+        if n_buckets < 2 or self._force_single_bucket:
             return len(sizes), pb, pb
         # Largest prefix whose padded area stays within 30% of the smallest
         # scale's — the per-outer-iteration tax every scale pays.
@@ -989,6 +1017,22 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
                 f"psfpeak={entry.psf_peak}, gain={entry.gain}"
             )
 
+    @staticmethod
+    def _forced_terms_or_dummy(fitter) -> jnp.ndarray:
+        """The FORCED-mode term images for the fused loop, or the unused
+        [1,1,1] placeholder for other fitting modes.  FORCED mode with no
+        term images set raises like the host path
+        (``spectral_fitting.py::_forced_fit``) instead of silently fitting
+        flat spectra off the zero dummy's clamped indexing."""
+        if (
+            fitter is not None
+            and fitter.mode == SpectralFittingMode.FORCED_TERMS
+        ):
+            if fitter._forced_terms is None:
+                raise RuntimeError("Forced terms have not been set")
+            return fitter._forced_terms
+        return jnp.zeros((1, 1, 1), jnp.float32)
+
     def _execute_fused(
         self, dirty_set, model_set, psfs: jnp.ndarray, result
     ) -> DeconvolutionResult:
@@ -1042,9 +1086,11 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
 
         residual_in = dirty_set.data
         model_in = model_set.data
-        mesh_active = (
-            self.device_mesh is not None and self.device_mesh.size > 1
-        )
+        # An explicitly-requested 1-device mesh runs the identical
+        # partitioned program with degenerate collectives — the measured
+        # anchor for the config-5 multiscale extrapolation
+        # (benchmarks/config5_proxy.py --mesh).
+        mesh_active = self.device_mesh is not None
         if mesh_active:
             # Multi-chip: lay the cube and the per-scale banks over the
             # ("chan", "tile") mesh and let XLA partition the whole minor
@@ -1079,7 +1125,10 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
             )
             use_pallas = False
 
-        out = _timed(
+        from ..utils.watchdog import run_with_watchdog
+
+        out = run_with_watchdog(
+            lambda: _timed(
             "fused_minor_loop",
             fused_multiscale_minor_loop,
             residual_in,
@@ -1102,15 +1151,7 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
             jnp.int32(self.iteration_number),
             jnp.int32(self.max_iterations),
             jnp.int32(max(8, S * 3 // 2)),
-            (
-                fitter._forced_terms
-                if (
-                    fitter is not None
-                    and fitter.mode == SpectralFittingMode.FORCED_TERMS
-                    and fitter._forced_terms is not None
-                )
-                else jnp.zeros((1, 1, 1), jnp.float32)
-            ),
+            self._forced_terms_or_dummy(fitter),
             meta=meta,
             allow_negative=self.allow_negative_components,
             stop_on_negative=self.stop_on_negative_components,
@@ -1123,6 +1164,8 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
             padded_large=padded_large,
             track_masks=self.track_per_scale_masks,
             track_components=self.track_components,
+            ),
+            description="fused multiscale minor loop",
         )
         dirty_set.data = out.residual
         model_set.data = out.model
@@ -1271,6 +1314,12 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
 
         from .multiscale_fused import fused_multiscale_minor_loop
 
+        if (
+            self.spectral_fitter is not None
+            and self.spectral_fitter.mode == SpectralFittingMode.FORCED_TERMS
+            and facet_forced_terms is None
+        ):
+            raise RuntimeError("Forced terms have not been set")
         F, N, Hb, Wb = facet_residual.shape
         initialize_scales(
             self.scale_infos,

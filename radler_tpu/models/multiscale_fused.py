@@ -77,7 +77,14 @@ import jax
 import jax.numpy as jnp
 
 from ..image_set import CubeMeta, linear_integration_coefficients
-from ..ops.convolution import forward_fft2, inverse_fft2_real, trim, untrim
+from ..ops.convolution import (
+    forward_fft2,
+    forward_fft2_padded,
+    inverse_fft2_real,
+    inverse_fft2_real_trimmed,
+    trim,
+    untrim,
+)
 from ..settings import SpectralFittingMode
 
 _FLT_MIN = np.float32(1.1754943508222875e-38)
@@ -332,7 +339,7 @@ def fused_multiscale_minor_loop(
             return planes
 
     # The residual cube in the Fourier domain at the unified padded size.
-    res_f = forward_fft2(untrim(residual, Ph, Pw))  # [N, Ph, Pwf]
+    res_f = forward_fft2_padded(residual, (Ph, Pw))  # [N, Ph, Pwf]
 
     # ---- maxima over all scales (FindActiveScaleConvolvedMaxima) --------
     # The scale-bank convolution runs on the padded canvas: no forward
@@ -342,8 +349,9 @@ def fused_multiscale_minor_loop(
     # exclude the affected border ring (multiscale_algorithm.cc:597-603).
     def find_maxima(res_f):
         integ_f = jnp.einsum("n,nhw->hw", lin, res_f)
-        conv = inverse_fft2_real(integ_f[None] * kernel_f, (Ph, Pw))
-        conv = trim(conv, H, W)  # [S, H, W]
+        conv = inverse_fft2_real_trimmed(
+            integ_f[None] * kernel_f, (Ph, Pw), (H, W)
+        )  # [S, H, W]
         weighted = conv * rms_factor if use_rms else conv
         cmp = jnp.abs(weighted) if allow_negative else weighted
         masked = jnp.where(valid_stack, cmp, neg_inf).reshape(S, H * W)
@@ -489,9 +497,9 @@ def fused_multiscale_minor_loop(
     # (the spectrum of kernel_s ⊛ psf_c is kernel_f[s] * psf_f[c]).
     def small_correct(res_f, mod, comp, s):
         kf = jax.lax.dynamic_index_in_dim(kernel_f, s, 0, keepdims=False)
-        comp_f = forward_fft2(untrim(comp, Ph, Pw))  # [Tn, ...]
-        madd = inverse_fft2_real(comp_f * kf[None], (Ph, Pw))
-        mod = mod + expand_planes(trim(madd, H, W))
+        comp_f = forward_fft2_padded(comp, (Ph, Pw))  # [Tn, ...]
+        madd = inverse_fft2_real_trimmed(comp_f * kf[None], (Ph, Pw), (H, W))
+        mod = mod + expand_planes(madd)
         comp_fn = expand_planes(comp_f)  # [N, ...]
         cfac = jnp.take(psf_f, psf_idx, axis=0)  # per-plane PSF spectra
         res_f = res_f - comp_fn * cfac * kf[None]
@@ -503,14 +511,17 @@ def fused_multiscale_minor_loop(
         kfL = jax.lax.dynamic_index_in_dim(
             kernel_f_large, s_local, 0, keepdims=False
         )
-        comp_fL = forward_fft2(untrim(comp, PhL, PwL))  # [Tn, ...]
-        madd = inverse_fft2_real(comp_fL * kfL[None], (PhL, PwL))
-        mod = mod + expand_planes(trim(madd, H, W))
+        comp_fL = forward_fft2_padded(comp, (PhL, PwL))  # [Tn, ...]
+        madd = inverse_fft2_real_trimmed(
+            comp_fL * kfL[None], (PhL, PwL), (H, W)
+        )
+        mod = mod + expand_planes(madd)
         comp_fLn = expand_planes(comp_fL)
         cfacL = jnp.take(psf_f_large, psf_idx, axis=0)
-        corr = inverse_fft2_real(comp_fLn * cfacL * kfL[None], (PhL, PwL))
-        delta = trim(corr, H, W)  # [N, H, W]
-        res_f = res_f - forward_fft2(untrim(delta, Ph, Pw))
+        delta = inverse_fft2_real_trimmed(
+            comp_fLn * cfacL * kfL[None], (PhL, PwL), (H, W)
+        )  # [N, H, W]
+        res_f = res_f - forward_fft2_padded(delta, (Ph, Pw))
         return res_f, mod
 
     # ---- outer loop -------------------------------------------------------
@@ -541,8 +552,8 @@ def fused_multiscale_minor_loop(
         # Scale-convolved residual cube (multiscale_algorithm.cc:345-354):
         # N inverse transforms of res_f x kernel_f[s], no forwards.
         kf = jax.lax.dynamic_index_in_dim(kernel_f, s, 0, keepdims=False)
-        conv_res = trim(
-            inverse_fft2_real(res_f * kf[None], (Ph, Pw)), H, W
+        conv_res = inverse_fft2_real_trimmed(
+            res_f * kf[None], (Ph, Pw), (H, W)
         )
         tp = jax.lax.dynamic_index_in_dim(twice_psfs, s, 0, keepdims=False)
         tp = jnp.take(tp, psf_idx, axis=0)  # [C,H,W] -> per-plane [N,H,W]
@@ -641,7 +652,7 @@ def fused_multiscale_minor_loop(
         outer_cond, outer_body, init
     )
 
-    res_out = trim(inverse_fft2_real(res_f, (Ph, Pw)), H, W).astype(
+    res_out = inverse_fft2_real_trimmed(res_f, (Ph, Pw), (H, W)).astype(
         residual.dtype
     )
     s_final = select_scale(vals, active)

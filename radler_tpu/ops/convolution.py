@@ -90,6 +90,42 @@ def inverse_fft2_real(spec: jnp.ndarray, shape: Tuple[int, int]) -> jnp.ndarray:
     return out.reshape(spec.shape[:-2] + (h, w))
 
 
+def forward_fft2_padded(
+    x: jnp.ndarray, padded_shape: Tuple[int, int]
+) -> jnp.ndarray:
+    """Spectrum of ``untrim(x, Ph, Pw)`` (centered zero-pad) in the active
+    representation — on the matmul backend the padded canvas is never
+    materialized and the all-zero factor rows are skipped (exact)."""
+    Ph, Pw = padded_shape
+    h, w = x.shape[-2:]
+    if (h, w) == (Ph, Pw):
+        return forward_fft2(x)
+    if _matmul_fft_active(Ph, Pw):
+        top = Ph // 2 - h // 2
+        left = Pw // 2 - w // 2
+        return mxu_fft.fft2_windowed(x, padded_shape, (top, left))
+    return jnp.fft.rfft2(untrim(x, Ph, Pw))
+
+
+def inverse_fft2_real_trimmed(
+    spec: jnp.ndarray,
+    padded_shape: Tuple[int, int],
+    out_shape: Tuple[int, int],
+) -> jnp.ndarray:
+    """``trim(inverse_fft2_real(spec, (Ph, Pw)), H, W)`` with the unused
+    output rows/columns (and the final contraction's imaginary part) never
+    computed on the matmul backend."""
+    Ph, Pw = padded_shape
+    H, W = out_shape
+    if (H, W) == (Ph, Pw):
+        return inverse_fft2_real(spec, padded_shape)
+    if spec.shape[-1] == Pw:
+        top = Ph // 2 - H // 2
+        left = Pw // 2 - W // 2
+        return mxu_fft.ifft2_real_windowed(spec, out_shape, (top, left))
+    return trim(inverse_fft2_real(spec, padded_shape), H, W)
+
+
 def probe_batched_fft_accuracy(
     n: int = 8, size: int = 2048, seed: int = 0
 ) -> dict:
@@ -281,6 +317,16 @@ def _padded_convolve_impl(
     padded_width: int,
 ) -> jnp.ndarray:
     h, w = image.shape[-2:]
+    if _matmul_fft_active(padded_height, padded_width):
+        # Windowed matmul transforms: the padded canvases are never
+        # materialized and only the centered (h, w) output window is
+        # computed (exactly untrim -> convolve -> trim, fewer matmul FLOPs).
+        ker_p = untrim(kernel, padded_height, padded_width)
+        ker_f = _centered_kernel_fft(ker_p, (padded_height, padded_width))
+        img_f = forward_fft2_padded(image, (padded_height, padded_width))
+        return inverse_fft2_real_trimmed(
+            img_f * ker_f, (padded_height, padded_width), (h, w)
+        ).astype(image.dtype)
     img_p = untrim(image, padded_height, padded_width)
     ker_p = untrim(kernel, padded_height, padded_width)
     out = convolve_same(img_p, ker_p)

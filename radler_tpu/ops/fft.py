@@ -125,36 +125,97 @@ def _cmatmul_last(xr, xi, wr, wi):
     return er, ei
 
 
-def _fft_last_axis(xr, xi, n: int, inverse: bool):
-    """DFT over the last axis of a split-complex array [..., n]."""
+def _cmatmul_last_real(xr, xi, wr, wi):
+    """Real part only of :func:`_cmatmul_last`: half the matmuls, used for
+    the final step of a real-output inverse transform."""
+    return jnp.einsum("...j,kj->...k", xr, wr, precision=_PREC) - jnp.einsum(
+        "...j,kj->...k", xi, wi, precision=_PREC
+    )
+
+
+def _fft_last_axis(
+    xr,
+    xi,
+    n: int,
+    inverse: bool,
+    in_window: Optional[Tuple[int, int]] = None,
+    out_window: Optional[Tuple[int, int]] = None,
+    real_out: bool = False,
+):
+    """DFT over the last axis of a split-complex array.
+
+    ``in_window = (start, length)``: the input array holds only entries
+    ``[start, start+length)`` of the virtual ``n``-length axis (everything
+    else is zero and never materialized) — the first contraction skips the
+    all-zero factor rows, an *exact* saving for zero-padded convolution
+    inputs.  ``out_window = (start, length)``: only that output slice is
+    produced (callers trimming a padded convolution back to image size).
+    ``real_out``: only the real part of the output is computed (the final
+    axis of a real inverse transform) — halves the last contraction.  All
+    three drop matmul work on zeros / unused outputs, not precision.
+    """
+    in_s, in_l = (0, n) if in_window is None else in_window
+    out_s, out_l = (0, n) if out_window is None else out_window
     split = factor_split(n)
     if split is None:
         wr, wi = (jnp.asarray(m) for m in _dft_mats(n, inverse))
+        if (in_s, in_l) != (0, n):
+            wr = wr[:, in_s : in_s + in_l]
+            wi = wi[:, in_s : in_s + in_l]
+        if (out_s, out_l) != (0, n):
+            wr = wr[out_s : out_s + out_l]
+            wi = wi[out_s : out_s + out_l]
+        if real_out:
+            return _cmatmul_last_real(xr, xi, wr, wi), None
         return _cmatmul_last(xr, xi, wr, wi)
     n1, n2 = split
     lead = xr.shape[:-1]
-    # j = j1*n2 + j2: reshape to [..., j1, j2], then put the contraction
-    # axis last for every step so each einsum is one big GEMM.
-    xr = xr.reshape(lead + (n1, n2))
-    xi = xi.reshape(lead + (n1, n2))
     w1r, w1i = (jnp.asarray(m) for m in _dft_mats(n1, inverse))
     w2r, w2i = (jnp.asarray(m) for m in _dft_mats(n2, inverse))
     twr, twi = (jnp.asarray(m) for m in _twiddles(n1, n2, inverse))
+    # j = j1*n2 + j2: only grid rows j1 in [j1_lo, j1_hi) intersect the
+    # input window — skip the all-zero rest in the first contraction.
+    j1_lo = in_s // n2
+    j1_hi = -(-(in_s + in_l) // n2)  # ceil
+    if (in_s, in_l) != (0, n):
+        lpad = in_s - j1_lo * n2
+        rpad = j1_hi * n2 - (in_s + in_l)
+        pads = [(0, 0)] * (xr.ndim - 1) + [(lpad, rpad)]
+        xr = jnp.pad(xr, pads)
+        xi = jnp.pad(xi, pads)
+    xr = xr.reshape(lead + (j1_hi - j1_lo, n2))
+    xi = xi.reshape(lead + (j1_hi - j1_lo, n2))
     # A[..., j2, k1] = sum_j1 x[..., j2, j1] W1[k1, j1]
     xr = jnp.swapaxes(xr, -1, -2)
     xi = jnp.swapaxes(xi, -1, -2)
-    ar, ai = _cmatmul_last(xr, xi, w1r, w1i)
+    ar, ai = _cmatmul_last(xr, xi, w1r[:, j1_lo:j1_hi], w1i[:, j1_lo:j1_hi])
     # B[..., j2, k1] = A * tw[k1, j2]  (twiddle transposed to [j2, k1])
     br = ar * twr.T - ai * twi.T
     bi = ar * twi.T + ai * twr.T
-    # C[..., k1, k2] = sum_j2 B[..., k1, j2] W2[k2, j2]
+    # C[..., k1, k2] = sum_j2 B[..., k1, j2] W2[k2, j2]; output index
+    # k = k1 + n1*k2, so the output window needs only k2 in [k2_lo, k2_hi).
     br = jnp.swapaxes(br, -1, -2)
     bi = jnp.swapaxes(bi, -1, -2)
-    cr, ci = _cmatmul_last(br, bi, w2r, w2i)
+    k2_lo = out_s // n1
+    k2_hi = n2 if (out_s, out_l) == (0, n) else min(
+        -(-(out_s + out_l) // n1), n2
+    )
+    w2r_s, w2i_s = w2r[k2_lo:k2_hi], w2i[k2_lo:k2_hi]
+    off = out_s - k2_lo * n1
+    if real_out:
+        cr = _cmatmul_last_real(br, bi, w2r_s, w2i_s)
+        cr = jnp.swapaxes(cr, -1, -2).reshape(lead + ((k2_hi - k2_lo) * n1,))
+        if (out_s, out_l) != (0, n):
+            cr = cr[..., off : off + out_l]
+        return cr, None
+    cr, ci = _cmatmul_last(br, bi, w2r_s, w2i_s)
     # Output index k = k1 + n1*k2 -> row-major [k2, k1].
-    cr = jnp.swapaxes(cr, -1, -2)
-    ci = jnp.swapaxes(ci, -1, -2)
-    return cr.reshape(lead + (n,)), ci.reshape(lead + (n,))
+    cr = jnp.swapaxes(cr, -1, -2).reshape(lead + ((k2_hi - k2_lo) * n1,))
+    ci = jnp.swapaxes(ci, -1, -2).reshape(lead + ((k2_hi - k2_lo) * n1,))
+    if (out_s, out_l) != (0, n):
+        cr = cr[..., off : off + out_l]
+        ci = ci[..., off : off + out_l]
+    return cr, ci
 
 
 def _fft2_split(xr, xi, inverse: bool):
@@ -197,3 +258,63 @@ def ifft2_real(spec: jnp.ndarray) -> jnp.ndarray:
     xi = jnp.imag(spec).astype(jnp.float32)
     yr, _ = _fft2_split(xr, xi, inverse=True)
     return yr
+
+
+@partial(jax.jit, static_argnames=("padded_shape", "offsets"))
+def fft2_windowed(
+    x: jnp.ndarray,
+    padded_shape: Tuple[int, int],
+    offsets: Tuple[int, int] = (0, 0),
+) -> jnp.ndarray:
+    """Spectrum of ``x`` embedded at ``offsets`` (top, left) in a zero
+    ``padded_shape`` canvas, without materializing the canvas: the all-zero
+    factor rows are skipped inside the matmuls (exactly
+    ``fft2(pad-embed(x))`` — fewer FLOPs and no padded HBM round trip)."""
+    Ph, Pw = padded_shape
+    top, left = offsets
+    h, w = x.shape[-2:]
+    assert top + h <= Ph and left + w <= Pw, (x.shape, padded_shape, offsets)
+    if jnp.iscomplexobj(x):
+        xr = jnp.real(x).astype(jnp.float32)
+        xi = jnp.imag(x).astype(jnp.float32)
+    else:
+        xr = x.astype(jnp.float32)
+        xi = jnp.zeros_like(xr)
+    # Transform the width axis first (only h of Ph rows exist — the batch
+    # lead is smaller too), then the height axis with its zero tail skipped.
+    xr, xi = _fft_last_axis(xr, xi, Pw, inverse=False, in_window=(left, w))
+    xr = jnp.swapaxes(xr, -1, -2)
+    xi = jnp.swapaxes(xi, -1, -2)
+    xr, xi = _fft_last_axis(xr, xi, Ph, inverse=False, in_window=(top, h))
+    xr = jnp.swapaxes(xr, -1, -2)
+    xi = jnp.swapaxes(xi, -1, -2)
+    return jax.lax.complex(xr, xi)
+
+
+@partial(jax.jit, static_argnames=("out_shape", "offsets"))
+def ifft2_real_windowed(
+    spec: jnp.ndarray,
+    out_shape: Tuple[int, int],
+    offsets: Tuple[int, int] = (0, 0),
+) -> jnp.ndarray:
+    """The ``out_shape`` window at ``offsets`` (top, left) of the real
+    inverse DFT of a full [..., Ph, Pw] spectrum: exactly
+    ``ifft2_real(spec)[top:top+H, left:left+W]`` with the unused output
+    rows/columns and the entire imaginary part of the final contraction
+    never computed."""
+    H, W = out_shape
+    top, left = offsets
+    Ph, Pw = spec.shape[-2:]
+    assert top + H <= Ph and left + W <= Pw, (spec.shape, out_shape, offsets)
+    xr = jnp.real(spec).astype(jnp.float32)
+    xi = jnp.imag(spec).astype(jnp.float32)
+    # Width axis first (trims the lead for the height axis), height last
+    # with a real-only final contraction.
+    xr, xi = _fft_last_axis(xr, xi, Pw, inverse=True, out_window=(left, W))
+    xr = jnp.swapaxes(xr, -1, -2)
+    xi = jnp.swapaxes(xi, -1, -2)
+    yr, _ = _fft_last_axis(
+        xr, xi, Ph, inverse=True, out_window=(top, H), real_out=True
+    )
+    yr = jnp.swapaxes(yr, -1, -2)
+    return yr * jnp.float32(1.0 / (Ph * Pw))

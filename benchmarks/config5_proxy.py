@@ -48,15 +48,17 @@ def main():
         "adds ~20 s of 20-28 MB/s tunnel transfers per run)",
     )
     ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument(
+        "--mesh",
+        action="store_true",
+        help="run the minor loop as the mesh-partitioned program "
+        "(parallel.use_device_mesh) — on the 1 real chip this is the "
+        "identical sharded program with degenerate collectives, the "
+        "measured anchor for the config-5 multiscale extrapolation",
+    )
     args = ap.parse_args()
 
-    import jax
-
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass
+    import jax  # noqa: F401  (the compile cache is wired by radler_tpu)
 
     import radler_tpu as rd
     from radler_tpu.work_table import (
@@ -146,6 +148,9 @@ def main():
         s.squared_joins = True
         s.parallel.grid_width = args.facets
         s.parallel.grid_height = args.facets
+        if args.mesh:
+            s.parallel.use_device_mesh = True
+            s.parallel.n_devices = len(jax.devices())
         s.spectral_fitting.mode = rd.SpectralFittingMode.POLYNOMIAL
         s.spectral_fitting.terms = 2
         r = rd.Radler(s, table, beam_size=0.0)

@@ -40,13 +40,24 @@ def _enable_persistent_compilation_cache() -> None:
         import jax
 
         if jax.config.jax_compilation_cache_dir is None:
-            jax.config.update(
-                "jax_compilation_cache_dir",
-                _os.environ.get(
-                    "RADLER_TPU_COMPILE_CACHE_DIR", "/tmp/jax_cache"
-                ),
+            # Per-user default: a world-shared /tmp path would collide
+            # between users (permissions) and be a cache-poisoning surface
+            # on shared hosts.
+            default_dir = _os.environ.get(
+                "RADLER_TPU_COMPILE_CACHE_DIR"
+            ) or _os.path.join(
+                _os.environ.get("XDG_CACHE_HOME")
+                or _os.path.join(_os.path.expanduser("~"), ".cache"),
+                "radler_tpu",
+                "jax",
             )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+            jax.config.update("jax_compilation_cache_dir", default_dir)
+        # Lower the write threshold only if the application has not
+        # configured it itself (JAX's default is 1.0 s).
+        if jax.config.jax_persistent_cache_min_compile_time_secs == 1.0:
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.5
+            )
     except Exception:
         pass
 

@@ -46,8 +46,19 @@ def force_sync(x) -> None:
     """
     import numpy as np
 
+    # In-order execution is per device: one leaf suffices only for the
+    # devices it touches.  Probe until every device appearing anywhere in
+    # the pytree has been drained (sharded leaves cover all their devices
+    # at once — fetching the jitted reduction waits on every shard).
+    drained: set = set()
     for leaf in jax.tree_util.tree_leaves(x):
         if not isinstance(leaf, jax.Array) or leaf.size == 0:
+            continue
+        try:
+            leaf_devices = frozenset(d.id for d in leaf.sharding.device_set)
+        except Exception:
+            leaf_devices = frozenset([-1])
+        if leaf_devices <= drained:
             continue
         key = (leaf.ndim, leaf.dtype)
         probe = _probe_cache.get(key)
@@ -57,7 +68,7 @@ def force_sync(x) -> None:
             )
             _probe_cache[key] = probe
         np.asarray(probe(leaf))
-        return  # one leaf suffices: device streams are in-order
+        drained |= leaf_devices
 
 
 class PhaseTimer:

@@ -63,16 +63,57 @@ def iuwt_convolve(image: jnp.ndarray, scale: int) -> jnp.ndarray:
     return _conv_axis(_conv_axis(image, scale, -1), scale, -2)
 
 
+def _atrous_pallas_scales(height: int, width: int, n_scales: int) -> int:
+    """How many low scales route to the fused Pallas à-trous kernel
+    (ops/pallas/iuwt_atrous.py): TPU backend, lane-aligned width, image
+    large enough that the halo'd blocking pays off.  0 = pure XLA.
+    RADLER_TPU_ATROUS_LO overrides (0 disables)."""
+    import os
+
+    env = os.environ.get("RADLER_TPU_ATROUS_LO")
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        return 0
+    if platform not in ("tpu", "axon"):
+        return 0
+    if height % 8 != 0 or width % 128 != 0:
+        return 0
+    if min(height, width) < 1024:
+        return 0
+    if env is not None:
+        return max(0, min(int(env), n_scales))
+    return min(4, n_scales)
+
+
 @partial(jax.jit, static_argnames=("n_scales",))
 def decompose(image: jnp.ndarray, n_scales: int) -> jnp.ndarray:
     """IUWT decomposition; returns ``[n_scales + 1, H, W]`` where plane s
     holds the wavelet coefficients w_s = i_s - conv(conv(i_s)) and the last
     plane is the smooth residual (``IuwtDecomposition::DecomposeSt``,
-    ``iuwt_decomposition.h:100-119``)."""
+    ``iuwt_decomposition.h:100-119``).
+
+    On TPU the low scales run as ONE fused Pallas pass (halo'd row/column
+    blocks, the whole dilated-convolution cascade in VMEM); high scales —
+    whose dilation makes halo'd blocking unprofitable — continue on the XLA
+    shifted-add path from the kernel's carried smooth plane.  Numerics are
+    identical (verified to f32 ulp)."""
     coefficients = []
     i0 = image
     i1 = image
-    for scale in range(n_scales):
+    n_lo = (
+        _atrous_pallas_scales(image.shape[-2], image.shape[-1], n_scales)
+        if image.ndim == 2
+        else 0
+    )
+    if n_lo:
+        from .pallas.iuwt_atrous import atrous_decompose_lo
+
+        w_lo, smooth = atrous_decompose_lo(image, n_lo)
+        coefficients.extend(w_lo[s] for s in range(n_lo))
+        i0 = smooth
+        i1 = smooth
+    for scale in range(n_lo, n_scales):
         i1 = iuwt_convolve(i0, scale + 1)
         i2 = iuwt_convolve(i1, scale + 1)
         coefficients.append(i0 - i2)

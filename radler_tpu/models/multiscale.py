@@ -113,6 +113,10 @@ class ScaleInfo:
     rms: float = -1.0
 
 
+# (key, psfs array (strong ref), peaks, banks) — see _prepare_fused_banks.
+_FUSED_BANK_CACHE: list = []
+
+
 def initialize_scales(
     scales: List[ScaleInfo],
     beam_size_in_pixels: float,
@@ -866,6 +870,12 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
         single-image path and the batched-facet path (the banks depend only
         on the box size and the PSF, not on the residual).
 
+        Results are cached at module level keyed by the PSF array identity
+        (a strong reference is held, so ``is`` comparison cannot alias a
+        recycled id) plus every config input: serial facet clones and
+        successive major iterations stop rebuilding — and stop holding
+        duplicate copies of — the multi-GB bank set.
+
         Correction spectra are FACTORIZED: the reference prepares the
         single-convolved PSFs ``kernel_s ⊛ psf_c`` as an S x C bank
         (``ConvolvePsfs``, ``multiscale_algorithm.cc:29-88``); spectrally
@@ -883,6 +893,23 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
         split, (pa_h, pa_w), (pb_h, pb_w) = self._correction_split(
             width, height
         )
+        cache_key = (
+            width,
+            height,
+            meta,
+            tuple(e.scale for e in self.scale_infos),
+            self.ms_settings.shape,
+            self.ms_settings.scale_bias,
+            self.minor_loop_gain,
+            split,
+            (pa_h, pa_w),
+            (pb_h, pb_w),
+        )
+        for key, psfs_ref, peaks_c, value in _FUSED_BANK_CACHE:
+            if key == cache_key and psfs_ref is psfs:
+                # bias/gain side effects must still land on THIS clone.
+                self._apply_psf_peaks(peaks_c)
+                return value
 
         # Compact host-side kernel stack [S, kmax, kmax]: the scale kernels
         # have small support (tapered-quadratic: scale+1 pixels), so a few
@@ -962,7 +989,7 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
         gain_arr = jnp.asarray(
             [e.gain for e in self.scale_infos], jnp.float32
         )
-        return (
+        value = (
             kernel_f,
             twice,
             psf_f,
@@ -974,6 +1001,10 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
             (pa_h, pa_w),
             (pb_h, pb_w),
         )
+        if len(_FUSED_BANK_CACHE) >= 3:
+            _FUSED_BANK_CACHE.pop(0)
+        _FUSED_BANK_CACHE.append((cache_key, psfs, peaks, value))
+        return value
 
     def _compact_kernel_stack(self, width: int, height: int) -> np.ndarray:
         """[S, kmax, kmax] stack of centered scale kernels (scale 0 = a
@@ -1086,6 +1117,8 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
 
         residual_in = dirty_set.data
         model_in = model_set.data
+        mesh_arg = None
+        mesh_interp = False
         # An explicitly-requested 1-device mesh runs the identical
         # partitioned program with degenerate collectives — the measured
         # anchor for the config-5 multiscale extrapolation
@@ -1124,6 +1157,36 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
                 rms_factor,
             )
             use_pallas = False
+            # The dense subminor inside the loop can run as a shard_map'd
+            # Pallas program (multiscale_fused._make_mesh_dense_subminor)
+            # when shapes divide the mesh and the fitter is a linear
+            # projection (or absent).
+            from .multiscale_fused import _coefficient_basis
+
+            try:
+                platform = jax.devices()[0].platform
+            except Exception:
+                platform = "cpu"
+            compiled = platform in ("tpu", "axon")
+            n_chan_m = self.device_mesh.shape["chan"]
+            n_tile_m = self.device_mesh.shape["tile"]
+            N_planes = meta.n_images
+            if (
+                not os.environ.get("RADLER_TPU_NO_MESH_MS_SUBMINOR")
+                and N_planes % n_chan_m == 0
+                and height % n_tile_m == 0
+                and (height // n_tile_m) % 8 == 0
+                and (not compiled or width % 128 == 0)
+                and (
+                    fitter is None
+                    or _coefficient_basis(fitter, meta) is not None
+                )
+            ):
+                mesh_arg = self.device_mesh
+                mesh_interp = not compiled
+            else:
+                mesh_arg = None
+                mesh_interp = False
 
         from ..utils.watchdog import run_with_watchdog
 
@@ -1164,6 +1227,8 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
             padded_large=padded_large,
             track_masks=self.track_per_scale_masks,
             track_components=self.track_components,
+            mesh=mesh_arg,
+            mesh_interpret=mesh_interp,
             ),
             description="fused multiscale minor loop",
         )

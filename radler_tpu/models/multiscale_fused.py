@@ -257,6 +257,203 @@ def dense_subminor_loop(
     return res, comp, it, value, found, div
 
 
+def _make_mesh_dense_subminor(
+    mesh,
+    N: int,
+    H: int,
+    W: int,
+    Tn: int,
+    lin_t: tuple,
+    *,
+    E,  # [N, Tn] traced coefficient basis or None
+    fit_m,  # [T, C] traced fit matrix (E path) or None
+    C: int,
+    Pp: int,
+    allow_negative: bool,
+    stop_on_negative: bool,
+    interpret: bool,
+):
+    """Sharded twin of the fused loop's dense subminor: the per-minor-
+    iteration subtract+integrate+argmax runs as the measured Pallas pass on
+    each device's shard of the scale-convolved cube, with the reference's
+    exchanges as explicit collectives (the same structure as
+    ``parallel/mesh.py::_build_mesh_hogbom_program``, in "linear"
+    integration mode with coefficient-space component tracking).
+
+    Returns a callable with ``dense_subminor``'s signature; ``conv_res``'s
+    final state is shard-local and discarded by the caller (only ``comp``,
+    iteration count, and the peak scalars survive), matching the host
+    path."""
+    from ..ops.pallas.hogbom_step import (
+        fused_clean_step,
+        fused_subtract_integrate,
+    )
+    from ..parallel.mesh import _shard_map
+    from .generic_clean import _choose_block_rows
+    from jax.sharding import PartitionSpec as P
+
+    n_chan = mesh.shape["chan"]
+    n_tile = mesh.shape["tile"]
+    N_loc = N // n_chan
+    H_loc = H // n_tile
+    complete = n_chan == 1
+    if interpret:
+        block_rows = next(
+            b for b in (512, 256, 128, 64, 32, 16, 8, H_loc)
+            if b <= H_loc and H_loc % b == 0
+        )
+    else:
+        block_rows = _choose_block_rows(H_loc, W, N_loc)
+    lin_arr = jnp.asarray(np.asarray(lin_t, np.float32))
+    flt_min = jnp.float32(1.1754943508222875e-38)
+    plane_axis = "chan" if n_chan > 1 else None
+    cube_spec = P(plane_axis, "tile", None)
+    comp_spec = P(None, "tile", None)
+    psf_spec = P(plane_axis, None, None)
+    img_spec = P("tile", None)
+    scalar = P()
+
+    def body(cr_l, psf_l, weight_l, rms_l, lin_all, E_r, fit_m_r,
+             thr, gain, it0, value0, x0, y0, found0,
+             max_iterations, divergence_limit):
+        ci = jax.lax.axis_index("chan")
+        ti = jax.lax.axis_index("tile")
+        r0 = ti * H_loc
+        lin_l = jax.lax.dynamic_slice(lin_all, (ci * N_loc,), (N_loc,))
+
+        def values_at(cr_l, y, x):
+            y_l = y - r0
+            own = (y_l >= 0) & (y_l < H_loc)
+            safe = jnp.clip(y_l, 0, H_loc - 1)
+            v = jnp.where(own, cr_l[:, safe, x], 0.0)
+            v = jax.lax.psum(v, "tile")
+            return jax.lax.all_gather(v, "chan", tiled=True)  # [N]
+
+        def image_at(img_l, y, x):
+            y_l = y - r0
+            own = (y_l >= 0) & (y_l < H_loc)
+            safe = jnp.clip(y_l, 0, H_loc - 1)
+            return jax.lax.psum(jnp.where(own, img_l[safe, x], 0.0), "tile")
+
+        start_abs = jnp.abs(value0)
+
+        def cond(st):
+            _cr, _comp, it, value, x, y, vals, found, div = st
+            ok = found & (jnp.abs(value) > thr) & (it < max_iterations)
+            if stop_on_negative:
+                ok &= value >= 0.0
+            return ok & ~div
+
+        def step(st):
+            cr_l, comp_l, it, value, x, y, vals, found, _ = st
+            if E is not None:
+                v = vals.reshape(C, Pp)
+                coef = (fit_m_r @ v).reshape(-1)  # [Tn]
+                peak_values = jnp.einsum("nk,k->n", E_r, coef) * gain
+                add = coef * gain
+            else:
+                peak_values = vals * gain
+                add = peak_values
+            y_l = y - r0
+            own = (y_l >= 0) & (y_l < H_loc)
+            safe = jnp.clip(y_l, 0, H_loc - 1)
+            comp_l = comp_l.at[:, safe, x].add(
+                jnp.where(own, add, 0.0)
+            )
+            pv_l = jax.lax.dynamic_slice(
+                peak_values, (ci * N_loc,), (N_loc,)
+            )
+            y_k = y - r0 - H + H_loc
+            if complete:
+                cr_l, lidx, lmax = fused_clean_step(
+                    cr_l,
+                    psf_l,
+                    pv_l,
+                    weight_l,
+                    y_k,
+                    x,
+                    block_rows=block_rows,
+                    allow_negative=allow_negative,
+                    integration_mode="linear",
+                    chan_coefs=lin_t,
+                    pol_coefs=(1.0,),
+                    use_weight=True,
+                    interpret=interpret,
+                )
+                gidx = lidx.astype(jnp.int32) + r0 * W
+            else:
+                cr_l, integ_part = fused_subtract_integrate(
+                    cr_l,
+                    psf_l,
+                    pv_l,
+                    lin_l,
+                    y_k,
+                    x,
+                    block_rows=block_rows,
+                    integration_mode="linear",
+                    pol_coefs=(1.0,),
+                    n_polarizations=1,
+                    interpret=interpret,
+                )
+                integ = jax.lax.psum(integ_part, "chan")
+                wgt = integ * weight_l
+                cmp = jnp.abs(wgt) if allow_negative else wgt
+                flat = cmp.reshape(-1)
+                li = jnp.argmax(flat)
+                lmax = flat[li]
+                gidx = li.astype(jnp.int32) + r0 * W
+            gmax = jax.lax.pmax(jax.lax.pmax(lmax, "tile"), "chan")
+            cand = jnp.where(lmax >= gmax, gidx, -1)
+            gsel = jax.lax.pmax(jax.lax.pmax(cand, "tile"), "chan")
+            ny = (gsel // W).astype(jnp.int32)
+            nx = (gsel % W).astype(jnp.int32)
+            nfound = gmax > flt_min
+            nvals = values_at(cr_l, ny, nx)
+            nvalue = jnp.einsum("n,n->", lin_arr, nvals) * image_at(
+                rms_l, ny, nx
+            )
+            div = jnp.where(
+                divergence_limit != 0.0,
+                nfound & (jnp.abs(nvalue) > start_abs * divergence_limit),
+                False,
+            )
+            return (cr_l, comp_l, it + 1, nvalue, nx, ny, nvals, nfound,
+                    div)
+
+        vals0 = values_at(cr_l, y0, x0)
+        comp0 = jnp.zeros((Tn, H_loc, W), jnp.float32)
+        init = (cr_l, comp0, it0, value0, x0, y0, vals0, found0,
+                jnp.asarray(False))
+        cr_l, comp_l, it, value, x, y, vals, found, div = (
+            jax.lax.while_loop(cond, step, init)
+        )
+        return comp_l, it, value, found, div
+
+    sharded = _shard_map(
+        body,
+        mesh,
+        in_specs=(
+            cube_spec, psf_spec, img_spec, img_spec, scalar, scalar,
+            scalar, scalar, scalar, scalar, scalar, scalar, scalar, scalar,
+            scalar, scalar,
+        ),
+        out_specs=(comp_spec, scalar, scalar, scalar, scalar),
+    )
+    E_arg = E if E is not None else jnp.zeros((1, 1), jnp.float32)
+    fit_arg = fit_m if fit_m is not None else jnp.zeros((1, 1), jnp.float32)
+
+    def run(conv_res, psf_pad, weight, rms_l, thr, gain, it0, value0,
+            x0, y0, found0, max_iterations, divergence_limit):
+        comp, it, value, found, div = sharded(
+            conv_res, psf_pad, weight, rms_l, lin_arr, E_arg, fit_arg,
+            thr, gain, it0, value0, x0, y0, found0,
+            max_iterations, divergence_limit,
+        )
+        return comp, it, value, found, div
+
+    return run
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -272,6 +469,8 @@ def dense_subminor_loop(
         "padded_large",
         "track_masks",
         "track_components",
+        "mesh",
+        "mesh_interpret",
     ),
 )
 def fused_multiscale_minor_loop(
@@ -309,6 +508,8 @@ def fused_multiscale_minor_loop(
     padded_large: tuple,
     track_masks: bool = False,
     track_components: bool = False,
+    mesh=None,
+    mesh_interpret: bool = False,
 ) -> FusedMultiscaleResult:
     N, H, W = residual.shape
     S = kernel_f.shape[0]
@@ -337,6 +538,27 @@ def fused_multiscale_minor_loop(
 
         def expand_planes(planes):
             return planes
+
+    # Mesh-partitioned dense subminor (shard_map + the measured Pallas
+    # pass); the caller gates eligibility (plane/row divisibility and a
+    # linear-projection or absent fitter).
+    mesh_subminor = None
+    if mesh is not None:
+        mesh_subminor = _make_mesh_dense_subminor(
+            mesh,
+            N,
+            H,
+            W,
+            Tn,
+            lin_t,
+            E=E,
+            fit_m=fit_m if E is not None else None,
+            C=meta.n_channels,
+            Pp=meta.n_polarizations,
+            allow_negative=allow_negative,
+            stop_on_negative=stop_on_negative,
+            interpret=mesh_interpret,
+        )
 
     # The residual cube in the Fourier domain at the unified padded size.
     res_f = forward_fft2_padded(residual, (Ph, Pw))  # [N, Ph, Pwf]
@@ -565,18 +787,35 @@ def fused_multiscale_minor_loop(
             weight = weight * rms_factor
 
         it_before = it
-        _cres, comp, it, value, sub_found, sub_div = dense_subminor(
-            conv_res,
-            psf_pad,
-            weight,
-            thr_sub,
-            gain_arr[s],
-            it,
-            vals[s],
-            xs[s],
-            ys[s],
-            found[s],
-        )
+        if mesh_subminor is not None:
+            comp, it, value, sub_found, sub_div = mesh_subminor(
+                conv_res,
+                psf_pad,
+                weight,
+                rms_factor if use_rms else jnp.ones((H, W), jnp.float32),
+                thr_sub,
+                gain_arr[s],
+                it,
+                vals[s],
+                xs[s],
+                ys[s],
+                found[s],
+                max_iterations,
+                divergence_limit,
+            )
+        else:
+            _cres, comp, it, value, sub_found, sub_div = dense_subminor(
+                conv_res,
+                psf_pad,
+                weight,
+                thr_sub,
+                gain_arr[s],
+                it,
+                vals[s],
+                xs[s],
+                ys[s],
+                found[s],
+            )
         nocomp = it == it_before
         div = sub_div | jnp.where(
             divergence_limit != 0.0,

@@ -76,6 +76,8 @@ class ParallelDeconvolution:
         self._use_per_scale_masks = False
         self._scale_masks: List[np.ndarray] = []  # full-size per-scale masks
         self._component_list: Optional[ComponentList] = None
+        # (box -> (source psf array, resized psf array)); see _run_sub_image.
+        self._sub_psf_cache: dict = {}
 
     # -- setup ---------------------------------------------------------
     @property
@@ -621,14 +623,26 @@ class ParallelDeconvolution:
         initial_model_data = sub_model.data
 
         # PSFs resized to the facet size (coarser or finer DD grids).
+        # Cached per (source array, box): serial facets share one resized
+        # PSF array, which also lets the fused-bank cache (multiscale.py::
+        # _prepare_fused_banks) hit across facet clones instead of
+        # rebuilding ~GBs of per-scale banks per facet.
         if psfs.shape[-2:] != (sub.height, sub.width):
-            from ..ops.convolution import trim as trim_op
-
-            ph, pw = psfs.shape[-2:]
-            if ph >= sub.height and pw >= sub.width:
-                sub_psfs = trim_op(psfs, sub.height, sub.width)
+            cache_key = (sub.height, sub.width)
+            cached = self._sub_psf_cache.get(cache_key)
+            if cached is not None and cached[0] is psfs:
+                sub_psfs = cached[1]
             else:
-                sub_psfs = untrim(psfs, sub.height, sub.width)
+                from ..ops.convolution import trim as trim_op
+
+                ph, pw = psfs.shape[-2:]
+                if ph >= sub.height and pw >= sub.width:
+                    sub_psfs = trim_op(psfs, sub.height, sub.width)
+                else:
+                    sub_psfs = untrim(psfs, sub.height, sub.width)
+                if len(self._sub_psf_cache) > 8:
+                    self._sub_psf_cache.clear()
+                self._sub_psf_cache[cache_key] = (psfs, sub_psfs)
         else:
             sub_psfs = psfs
 

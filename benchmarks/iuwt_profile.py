@@ -9,11 +9,15 @@ where the time is.  Run on the real TPU:
 """
 
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from radler_tpu.ops import iuwt as iuwt_ops
 from radler_tpu.ops.convolution import convolve_same

@@ -215,36 +215,6 @@ class _IuwtEngine:
         # per structure iteration.
         return mask, count
 
-    # -- conjugate gradient -----------------------------------------------
-    def _run_conjugate_gradient(
-        self,
-        coeffs: jnp.ndarray,  # masked IUWT of the dirty [S+1,H,W]
-        mask: jnp.ndarray,  # [S,H,W] bool
-        masked_dirty: jnp.ndarray,
-        psf_kernel_image: jnp.ndarray,  # full-size psf (kernel center at H/2,W/2)
-        n_scales: int,
-        width: int,
-        height: int,
-    ) -> Tuple[Optional[jnp.ndarray], bool]:
-        """``RunConjugateGradient``
-        (``iuwt_deconvolution_algorithm.cc:326-407``): solve for the structure
-        model under the masked-IUWT-of-convolution operator.  The whole
-        20-iteration solve runs as one compiled device dispatch
-        (:func:`radler_tpu.ops.iuwt.conjugate_gradient`)."""
-        model, status = iuwt_ops.conjugate_gradient(
-            self._shard_rows(coeffs, row_axis=1),
-            self._shard_rows(mask, row_axis=1),
-            self._shard_rows(masked_dirty),
-            self._shard_rows(psf_kernel_image),
-            n_scales,
-        )
-        succ_f, snr_f = np.asarray(status).tolist()
-        if not bool(succ_f):
-            log.debug(f"CG failed to converge (SNR={snr_f}).")
-            return None, False
-        log.debug(f"CG solve finished (SNR={snr_f}).")
-        return model, True
-
     # -- bounding boxes ----------------------------------------------------
     @staticmethod
     def _adjust_box(
@@ -316,16 +286,34 @@ class _IuwtEngine:
         (``iuwt_deconvolution_algorithm.cc:414-498``)."""
         width, height = self.width, self.height
         max_components.clear()
-        # Decompose + per-scale stats in ONE dispatch and ONE host transfer
-        # (each separate eager op on a remote-dispatch backend costs a
-        # ~40 ms round trip).
-        coeffs, stats_dev = iuwt_ops.structure_stats(
+        # The whole front half — decompose + per-scale stats + the
+        # significant-scale choice + adjusted thresholds + structure mask +
+        # bounding box — runs as ONE dispatch with ONE host pull
+        # (``ops/iuwt.py::structure_stats_select``; each separate pull is a
+        # full tunnel round trip on remote-dispatch backends).  The mask
+        # and bbox are speculative when the early-outs below fire.
+        S = cur_end_scale
+        coeffs, mask_pre, blob_dev = iuwt_ops.structure_stats_select(
             dirty,
             self._search_window(width, height),
-            cur_end_scale,
+            self._select_window(self.mask, width, height),
+            jnp.asarray(np.asarray(self.psf_rms[:S], np.float32)),
+            jnp.float32(
+                self.psf_peak_response[1] / self.psf_peak_response_to_next[0]
+            ),
+            jnp.float32(self.threshold_sigma_level),
+            jnp.float32(self.absolute_threshold),
+            jnp.float32(self.tolerance),
+            jnp.int32(cur_min_scale),
+            S,
             self.allow_negative,
         )
-        stats = np.asarray(stats_dev)
+        blob = np.asarray(blob_dev)
+        stats = blob[: 5 * S].reshape(5, S)
+        area_size = int(blob[5 * S])
+        bbox = tuple(int(v) for v in blob[5 * S + 1 : 5 * S + 5])
+        max_val_scale = int(blob[5 * S + 5])
+        max_val = float(blob[5 * S + 6])
         self.rmses, vals = stats[0], stats[1]
         xs = stats[2].astype(np.int32)
         ys = stats[3].astype(np.int32)
@@ -340,38 +328,11 @@ class _IuwtEngine:
                 }
             )
 
-        max_val = -1.0
-        max_x = max_y = 0
-        max_val_scale = -1
-        for scale in range(cur_end_scale):
-            comp = max_components[scale]
-            abs_coef = comp["val"] / self.psf_rms[scale]
-            if (
-                scale >= cur_min_scale
-                and abs_coef > max_val
-                and comp["val"]
-                > self.rmses[scale] * self.threshold_sigma_level
-                and comp["val"]
-                > self.rmses[scale] / self.rmses[0] * self.absolute_threshold
-            ):
-                max_x = comp["x"]
-                max_y = comp["y"]
-                max_val_scale = scale
-                if scale == 0:
-                    lowest_rms = min(self.psf_rms[0], self.psf_rms[1])
-                    max_val = (
-                        comp["val"]
-                        / lowest_rms
-                        * self.psf_peak_response[1]
-                        / self.psf_peak_response_to_next[0]
-                    )
-                else:
-                    max_val = abs_coef
         if max_val_scale == -1:
             log.debug("No significant pixel found.")
             return False, structure_model_full
-
-        max_val = float(stats[4][max_val_scale])  # signed value at the peak
+        max_x = int(xs[max_val_scale])
+        max_y = int(ys[max_val_scale])
         log.debug(
             f"Most significant pixel: {max_x},{max_y}={max_val} "
             f"({max_val / self.rmses[max_val_scale]} sigma) on scale "
@@ -401,6 +362,7 @@ class _IuwtEngine:
             (max_x, max_y, max_val_scale),
             allow_trimming=True,
             prior_mask=self.mask,
+            precomputed=(mask_pre, bbox, area_size),
         )
 
     def _fill_and_deconvolve_structure(
@@ -419,32 +381,40 @@ class _IuwtEngine:
         max_comp: Tuple[int, int, int],
         allow_trimming: bool,
         prior_mask: Optional[np.ndarray],
+        precomputed=None,  # (mask, raw bbox, area) from structure_stats_select
     ) -> Tuple[bool, jnp.ndarray]:
         """``FillAndDeconvolveStructure``
         (``iuwt_deconvolution_algorithm.cc:500-626``)."""
-        mask, area_size = self._select_structures(
-            coeffs,
-            thresholds,
-            cur_min_scale,
-            cur_end_scale,
-            prior_mask,
-            width,
-            height,
-        )
+        if precomputed is not None:
+            mask, raw_box, area_size = precomputed
+        else:
+            mask, area_size = self._select_structures(
+                coeffs,
+                thresholds,
+                cur_min_scale,
+                cur_end_scale,
+                prior_mask,
+                width,
+                height,
+            )
+            raw_box = None
         if log.is_enabled("debug"):
             log.debug(
                 f"Flood-filled area contains {int(area_size)} significant "
                 "components."
             )
         if allow_trimming:
-            x1, y1, x2, y2 = (
-                int(v)
-                for v in np.asarray(
-                    iuwt_ops.masked_recompose_bbox(coeffs, mask, cur_end_scale)
+            if raw_box is None:
+                raw_box = tuple(
+                    int(v)
+                    for v in np.asarray(
+                        iuwt_ops.masked_recompose_bbox(
+                            coeffs, mask, cur_end_scale
+                        )
+                    )
                 )
-            )
             x1, y1, x2, y2 = self._adjust_box(
-                x1, y1, x2, y2, width, height, max_comp[2] + 1
+                *raw_box, width, height, max_comp[2] + 1
             )
         else:
             x1, y1, x2, y2 = 0, 0, width, height
@@ -498,26 +468,26 @@ class _IuwtEngine:
             self.box = (0, 0, width, height)
             return success, padded
 
-        # Un-trimmed path: masked CG solve.
+        # Un-trimmed path: masked CG solve + RMS guard as one program with
+        # ONE host pull for both decisions (each pull is a full tunnel
+        # round trip on remote-dispatch backends).
         masked_dirty_scales, masked_dirty = iuwt_ops.masked_dirty_of(
             dirty, mask, cur_end_scale
         )
-        structure_model, success = self._run_conjugate_gradient(
-            masked_dirty_scales,
-            mask,
-            masked_dirty,
-            psf,
+        structure_model, status = iuwt_ops.conjugate_gradient_guarded(
+            self._shard_rows(masked_dirty_scales, row_axis=1),
+            self._shard_rows(mask, row_axis=1),
+            self._shard_rows(masked_dirty),
+            self._shard_rows(dirty),
+            self._shard_rows(psf),
+            jnp.float32(self.minor_loop_gain),
             cur_end_scale,
-            width,
-            height,
         )
-        if not success:
+        succ_f, snr_f, rms_before, rms_after = np.asarray(status).tolist()
+        if not bool(succ_f):
+            log.debug(f"CG failed to converge (SNR={snr_f}).")
             return False, structure_model_full
-
-        guard = iuwt_ops.rms_guard(
-            dirty, structure_model, psf, jnp.float32(self.minor_loop_gain)
-        )
-        rms_before, rms_after = np.asarray(guard).tolist()
+        log.debug(f"CG solve finished (SNR={snr_f}).")
         if rms_after > rms_before:
             log.debug(f"RMS got worse: {rms_before} -> {rms_after}")
             return False, structure_model_full

@@ -389,6 +389,104 @@ def rms_guard(dirty, structure_model, psf, gain):
     return jnp.stack([rb, ra])
 
 
+@partial(
+    jax.jit,
+    static_argnames=("n_scales", "allow_negative"),
+)
+def structure_stats_select(
+    image: jnp.ndarray,  # [H, W] integrated dirty
+    window: jnp.ndarray,  # [H, W] bool peak-search window
+    select_window: jnp.ndarray,  # [H, W] bool structure-selection window
+    psf_rms: jnp.ndarray,  # [S] per-scale PSF wavelet RMS
+    scale0_factor: jnp.ndarray,  # psf_peak_response[1]/response_to_next[0]
+    sigma_level: jnp.ndarray,
+    absolute_threshold: jnp.ndarray,
+    tolerance: jnp.ndarray,
+    min_scale: jnp.ndarray,  # traced: scale escalation must not recompile
+    n_scales: int,
+    allow_negative: bool,
+):
+    """The whole front half of ``FindAndDeconvolveStructure`` +
+    ``FillAndDeconvolveStructure``'s selection as ONE program with ONE host
+    pull: decompose + per-scale stats, the significant-scale choice
+    (device replica of ``iuwt_deconvolution_algorithm.cc:439-483``), the
+    adjusted per-scale thresholds, the structure mask
+    (``image_analysis.cc:217-249``), and its bounding box.  The mask/bbox
+    are speculative when no significant pixel exists — a wasted pass costs
+    less than the extra tunnel round trips it replaces.
+
+    Returns ``(coeffs, mask, blob)`` with ``blob`` =
+    ``[stats(5*S) | count | x1 y1 x2 y2 | sel signed_max]`` (float32).
+    """
+    coeffs, stats = structure_stats(image, window, n_scales, allow_negative)
+    rmses, vals = stats[0], stats[1]
+    # Significant-scale choice: ascending scan, the scale-0 winner carries
+    # an adjusted comparison value (cc:452-467).
+    max_val = jnp.float32(-1.0)
+    sel = jnp.int32(-1)
+    for s in range(n_scales):
+        abs_coef = vals[s] / psf_rms[s]
+        ok = (
+            (abs_coef > max_val)
+            & (vals[s] > rmses[s] * sigma_level)
+            & (vals[s] > rmses[s] / rmses[0] * absolute_threshold)
+            & (jnp.int32(s) >= min_scale)
+        )
+        if s == 0:
+            cand = (
+                vals[0]
+                / jnp.minimum(psf_rms[0], psf_rms[1])
+                * scale0_factor
+            )
+        else:
+            cand = abs_coef
+        sel = jnp.where(ok, jnp.int32(s), sel)
+        max_val = jnp.where(ok, cand, max_val)
+    sel_c = jnp.maximum(sel, 0)
+    signed_max = jnp.where(sel >= 0, stats[4][sel_c], 0.0)
+    thresholds = rmses * (sigma_level * 4.0 / 5.0)
+    thr = jnp.maximum(thresholds, tolerance * jnp.abs(signed_max))
+    thr = jnp.where(signed_max < 0.0, -thr, thr)
+    mask, count = select_structures(
+        coeffs, thr[:n_scales], select_window, min_scale
+    )
+    bbox = masked_recompose_bbox(coeffs, mask, n_scales)
+    blob = jnp.concatenate(
+        [
+            stats.reshape(-1),
+            count[None].astype(jnp.float32),
+            jnp.asarray(bbox, jnp.float32),
+            jnp.stack([sel.astype(jnp.float32), signed_max]),
+        ]
+    )
+    return coeffs, mask, blob
+
+
+@partial(jax.jit, static_argnames=("n_scales", "max_iterations"))
+def conjugate_gradient_guarded(
+    initial_dirty_scales: jnp.ndarray,  # [S+1, H, W]
+    mask: jnp.ndarray,  # [S, H, W] bool
+    masked_dirty: jnp.ndarray,  # [H, W]
+    dirty: jnp.ndarray,  # [H, W] (for the RMS guard)
+    psf_kernel_image: jnp.ndarray,  # [H, W]
+    gain: jnp.ndarray,
+    n_scales: int,
+    max_iterations: int = 20,
+):
+    """:func:`conjugate_gradient` followed by :func:`rms_guard` in ONE
+    program: the guard's convolution is speculative when CG fails, but a
+    host round trip per structure iteration costs more than the wasted
+    convolution on a remote-dispatch backend.  Returns
+    ``(model, [success, snr, rms_before, rms_after])`` — one pull for both
+    decisions (``iuwt_deconvolution_algorithm.cc:604-618``)."""
+    model, status = conjugate_gradient(
+        initial_dirty_scales, mask, masked_dirty, psf_kernel_image,
+        n_scales, max_iterations,
+    )
+    guard = rms_guard(dirty, model, psf_kernel_image, gain)
+    return model, jnp.concatenate([status, guard])
+
+
 @partial(jax.jit, static_argnames=("end_scale_n", "new_h", "new_w"))
 def trim_coeffs_box(coeffs, y1, x1, end_scale_n: int, new_h: int, new_w: int):
     """Slice ``coeffs[:end_scale, box]`` and append a zero smooth plane —

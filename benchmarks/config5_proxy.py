@@ -154,6 +154,15 @@ def main():
         s.spectral_fitting.mode = rd.SpectralFittingMode.POLYNOMIAL
         s.spectral_fitting.terms = 2
         r = rd.Radler(s, table, beam_size=0.0)
+
+        def total_iters():
+            # Radler.iteration_number mirrors the reference
+            # (FirstAlgorithm().IterationNumber(), radler.cc:406-408) which
+            # is facet 0's count only; the throughput metric wants the SUM
+            # over facet clones (each counts its own minor iterations, like
+            # the reference's per-sub-image algorithms).
+            algs = r._parallel.algorithms or [r._parallel.first_algorithm]
+            return sum(a.iteration_number for a in algs)
         rms0_host = float(np.sqrt(np.mean(np.asarray(base[0]) ** 2)))
         rms0 = rms0_host
         t0 = time.perf_counter()
@@ -161,14 +170,14 @@ def main():
         if args.host_cubes:
             dt = time.perf_counter() - t0
             rms1 = float(np.sqrt(np.mean(residuals[0] ** 2)))
-            return r.iteration_number, dt, rms0_host, rms1
+            return total_iters(), dt, rms0_host, rms1
         from radler_tpu.utils.profiling import force_sync
 
         out_res = table.front.residual_accessor.array
         force_sync(out_res)
         dt = time.perf_counter() - t0
         rms1 = float(jnp.sqrt(jnp.mean(out_res**2)))
-        return r.iteration_number, dt, rms0, rms1
+        return total_iters(), dt, rms0, rms1
 
     it, dt, rms0, rms1 = one_run()  # warm-up/compile
     print(f"[config5-proxy] cold: {it} iters in {dt:.1f}s", flush=True)

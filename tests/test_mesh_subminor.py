@@ -139,6 +139,90 @@ def test_mesh_subminor_tiles_match_banded_host_emulation():
     np.testing.assert_allclose(res_m, res_ref, atol=3e-5)
 
 
+def test_mesh_subminor_with_polynomial_fitter():
+    """Spectral fitting inside the sharded candidate loop must match the
+    single-device subminor (chan-only mesh: identical semantics)."""
+    n_chan, size = 8, 64
+    psfs, res0 = _problem(n_chan, size)
+
+    def run(use_mesh):
+        res = res0.copy()
+        mdl = np.zeros_like(res)
+        s = rd.Settings()
+        s.trimmed_image_width = size
+        s.trimmed_image_height = size
+        s.minor_iteration_count = 150
+        s.minor_loop_gain = 0.2
+        s.major_loop_gain = 0.85
+        s.generic.use_sub_minor_optimization = True
+        s.spectral_fitting.mode = rd.SpectralFittingMode.POLYNOMIAL
+        s.spectral_fitting.terms = 2
+        if use_mesh:
+            s.parallel.use_device_mesh = True
+            s.parallel.n_devices = 8
+        freqs = np.array(
+            [[1.0e8 + c * 1e7, 1.1e8 + c * 1e7] for c in range(n_chan)]
+        )
+        r = rd.Radler(s, psfs, res, mdl, 0.0, frequencies=freqs)
+        r.perform(0)
+        return res, mdl, r.iteration_number
+
+    res_m, mdl_m, it_m = run(True)
+    res_s, mdl_s, it_s = run(False)
+    assert it_m == it_s
+    np.testing.assert_allclose(res_m, res_s, atol=5e-5)
+    np.testing.assert_allclose(mdl_m, mdl_s, atol=5e-5)
+
+
+def test_mesh_subminor_capacity_overflow_drops_dimmest():
+    """More candidates than the per-tile capacity: the brightest-first
+    top-k gather must still clean (the dimmest set members are the ones a
+    capped buffer can safely drop — they are below the loop's stopping
+    threshold soonest)."""
+    from radler_tpu.image_set import CubeMeta
+    from radler_tpu.parallel.mesh import make_mesh, mesh_subminor_clean
+    import jax.numpy as jnp
+
+    size = 64
+    psfs, res = _problem(2, size)
+    meta = CubeMeta(
+        n_channels=2,
+        n_polarizations=1,
+        weights=(1.0, 1.0),
+        linked=(True,),
+        polarization_norm_factor=1.0,
+        squared_joins=False,
+        frequencies=(1e8, 1.1e8),
+    )
+    mesh = make_mesh(8, n_channels=2)
+    integ = np.einsum("c,chw->hw", [0.5, 0.5], res)
+    peak = float(np.abs(integ).max())
+    thr = 0.2 * peak
+    delta, it, final_max, diverging, any_sel = mesh_subminor_clean(
+        mesh,
+        jnp.asarray(res),
+        jnp.asarray(psfs),
+        jnp.ones((size, size), jnp.float32),
+        jnp.ones((size, size), bool),
+        thr * 0.99,
+        thr,
+        0.2,
+        0,
+        500,
+        4.0,
+        cap=16,  # far fewer than the above-threshold pixel count
+        meta=meta,
+        allow_negative=True,
+        stop_on_negative=False,
+        fitter=None,
+        use_rms=False,
+    )
+    assert bool(any_sel) and not bool(diverging)
+    assert int(it) > 0
+    assert abs(float(final_max)) <= thr * 1.01 or int(it) == 500
+    assert np.isfinite(np.asarray(delta)).all()
+
+
 def test_mesh_subminor_respects_mask():
     n_chan, size = 2, 64
     mask = np.zeros((size, size), bool)

@@ -569,10 +569,28 @@ def fused_multiscale_minor_loop(
     # S inverse transforms, trim.  The padding margin carries the wrapped
     # correction tails the reference re-zeroes; the searchable windows
     # exclude the affected border ring (multiscale_algorithm.cc:597-603).
+    # The maxima refresh is a SEARCH (its outputs pick a scale and a start
+    # pixel; the subminor re-derives exact values from conv_res), so it CAN
+    # run at native-bf16 matmul precision — measured back-to-back at
+    # 2048²×8ch: 4.8 s vs 6.5 s warm (+35%) — but the ~1e-2 peak errors
+    # mis-rank near ties and the end state after 600 iterations degrades
+    # (ch0 rms 1.6825 vs the ground-truth-verified 1.6363).  Exact (bf16x3)
+    # stays the default; RADLER_TPU_MS_MAXIMA_PRECISION=fast opts into the
+    # throughput trade for workloads that iterate to a threshold anyway.
+    import os as _os
+
+    _maxima_prec = (
+        "fast"
+        if _os.environ.get("RADLER_TPU_MS_MAXIMA_PRECISION", "").lower()
+        == "fast"
+        else None
+    )
+
     def find_maxima(res_f):
         integ_f = jnp.einsum("n,nhw->hw", lin, res_f)
         conv = inverse_fft2_real_trimmed(
-            integ_f[None] * kernel_f, (Ph, Pw), (H, W)
+            integ_f[None] * kernel_f, (Ph, Pw), (H, W),
+            precision=_maxima_prec,
         )  # [S, H, W]
         weighted = conv * rms_factor if use_rms else conv
         cmp = jnp.abs(weighted) if allow_negative else weighted

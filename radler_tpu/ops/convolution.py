@@ -111,10 +111,13 @@ def inverse_fft2_real_trimmed(
     spec: jnp.ndarray,
     padded_shape: Tuple[int, int],
     out_shape: Tuple[int, int],
+    precision=None,
 ) -> jnp.ndarray:
     """``trim(inverse_fft2_real(spec, (Ph, Pw)), H, W)`` with the unused
     output rows/columns (and the final contraction's imaginary part) never
-    computed on the matmul backend."""
+    computed on the matmul backend.  ``precision="fast"`` runs the matmul
+    path at native bf16 (~1e-2 rel) — only for search-only consumers; the
+    native-FFT fallback ignores it (already exact)."""
     Ph, Pw = padded_shape
     H, W = out_shape
     if (H, W) == (Ph, Pw):
@@ -122,7 +125,9 @@ def inverse_fft2_real_trimmed(
     if spec.shape[-1] == Pw:
         top = Ph // 2 - H // 2
         left = Pw // 2 - W // 2
-        return mxu_fft.ifft2_real_windowed(spec, out_shape, (top, left))
+        return mxu_fft.ifft2_real_windowed(
+            spec, out_shape, (top, left), precision
+        )
     return trim(inverse_fft2_real(spec, padded_shape), H, W)
 
 

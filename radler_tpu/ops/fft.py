@@ -109,27 +109,29 @@ def _twiddles(n1: int, n2: int, inverse: bool) -> Tuple[np.ndarray, np.ndarray]:
     )
 
 
-def _cmatmul_last(xr, xi, wr, wi):
+def _cmatmul_last(xr, xi, wr, wi, prec=None):
     """Complex contraction over the LAST axis: out[..., k] = Σ_j x[..., j] W[k, j].
 
     Shaped as ``...j,kj->...k`` with no batch dimensions, which XLA lowers to
     one large GEMM (a [prod(lead), j] x [j, k] matmul) — small *batched*
     matmuls (the naive four-step einsum) run the MXU at ~3% utilization.
     """
-    er = jnp.einsum("...j,kj->...k", xr, wr, precision=_PREC) - jnp.einsum(
-        "...j,kj->...k", xi, wi, precision=_PREC
+    prec = _PREC if prec is None else prec
+    er = jnp.einsum("...j,kj->...k", xr, wr, precision=prec) - jnp.einsum(
+        "...j,kj->...k", xi, wi, precision=prec
     )
-    ei = jnp.einsum("...j,kj->...k", xr, wi, precision=_PREC) + jnp.einsum(
-        "...j,kj->...k", xi, wr, precision=_PREC
+    ei = jnp.einsum("...j,kj->...k", xr, wi, precision=prec) + jnp.einsum(
+        "...j,kj->...k", xi, wr, precision=prec
     )
     return er, ei
 
 
-def _cmatmul_last_real(xr, xi, wr, wi):
+def _cmatmul_last_real(xr, xi, wr, wi, prec=None):
     """Real part only of :func:`_cmatmul_last`: half the matmuls, used for
     the final step of a real-output inverse transform."""
-    return jnp.einsum("...j,kj->...k", xr, wr, precision=_PREC) - jnp.einsum(
-        "...j,kj->...k", xi, wi, precision=_PREC
+    prec = _PREC if prec is None else prec
+    return jnp.einsum("...j,kj->...k", xr, wr, precision=prec) - jnp.einsum(
+        "...j,kj->...k", xi, wi, precision=prec
     )
 
 
@@ -141,6 +143,7 @@ def _fft_last_axis(
     in_window: Optional[Tuple[int, int]] = None,
     out_window: Optional[Tuple[int, int]] = None,
     real_out: bool = False,
+    prec=None,
 ):
     """DFT over the last axis of a split-complex array.
 
@@ -166,8 +169,8 @@ def _fft_last_axis(
             wr = wr[out_s : out_s + out_l]
             wi = wi[out_s : out_s + out_l]
         if real_out:
-            return _cmatmul_last_real(xr, xi, wr, wi), None
-        return _cmatmul_last(xr, xi, wr, wi)
+            return _cmatmul_last_real(xr, xi, wr, wi, prec), None
+        return _cmatmul_last(xr, xi, wr, wi, prec)
     n1, n2 = split
     lead = xr.shape[:-1]
     w1r, w1i = (jnp.asarray(m) for m in _dft_mats(n1, inverse))
@@ -188,7 +191,9 @@ def _fft_last_axis(
     # A[..., j2, k1] = sum_j1 x[..., j2, j1] W1[k1, j1]
     xr = jnp.swapaxes(xr, -1, -2)
     xi = jnp.swapaxes(xi, -1, -2)
-    ar, ai = _cmatmul_last(xr, xi, w1r[:, j1_lo:j1_hi], w1i[:, j1_lo:j1_hi])
+    ar, ai = _cmatmul_last(
+        xr, xi, w1r[:, j1_lo:j1_hi], w1i[:, j1_lo:j1_hi], prec
+    )
     # B[..., j2, k1] = A * tw[k1, j2]  (twiddle transposed to [j2, k1])
     br = ar * twr.T - ai * twi.T
     bi = ar * twi.T + ai * twr.T
@@ -203,12 +208,12 @@ def _fft_last_axis(
     w2r_s, w2i_s = w2r[k2_lo:k2_hi], w2i[k2_lo:k2_hi]
     off = out_s - k2_lo * n1
     if real_out:
-        cr = _cmatmul_last_real(br, bi, w2r_s, w2i_s)
+        cr = _cmatmul_last_real(br, bi, w2r_s, w2i_s, prec)
         cr = jnp.swapaxes(cr, -1, -2).reshape(lead + ((k2_hi - k2_lo) * n1,))
         if (out_s, out_l) != (0, n):
             cr = cr[..., off : off + out_l]
         return cr, None
-    cr, ci = _cmatmul_last(br, bi, w2r_s, w2i_s)
+    cr, ci = _cmatmul_last(br, bi, w2r_s, w2i_s, prec)
     # Output index k = k1 + n1*k2 -> row-major [k2, k1].
     cr = jnp.swapaxes(cr, -1, -2).reshape(lead + ((k2_hi - k2_lo) * n1,))
     ci = jnp.swapaxes(ci, -1, -2).reshape(lead + ((k2_hi - k2_lo) * n1,))
@@ -291,11 +296,12 @@ def fft2_windowed(
     return jax.lax.complex(xr, xi)
 
 
-@partial(jax.jit, static_argnames=("out_shape", "offsets"))
+@partial(jax.jit, static_argnames=("out_shape", "offsets", "precision"))
 def ifft2_real_windowed(
     spec: jnp.ndarray,
     out_shape: Tuple[int, int],
     offsets: Tuple[int, int] = (0, 0),
+    precision: Optional[str] = None,
 ) -> jnp.ndarray:
     """The ``out_shape`` window at ``offsets`` (top, left) of the real
     inverse DFT of a full [..., Ph, Pw] spectrum: exactly
@@ -308,13 +314,22 @@ def ifft2_real_windowed(
     assert top + H <= Ph and left + W <= Pw, (spec.shape, out_shape, offsets)
     xr = jnp.real(spec).astype(jnp.float32)
     xi = jnp.imag(spec).astype(jnp.float32)
+    # "fast" = native bf16 matmuls (one pass instead of bf16x3) — ~1e-2
+    # relative error, for SEARCH-only transforms whose outputs never feed
+    # residual/model state (e.g. the multiscale maxima refresh).
+    prec = (
+        jax.lax.Precision.DEFAULT if precision == "fast" else None
+    )
     # Width axis first (trims the lead for the height axis), height last
     # with a real-only final contraction.
-    xr, xi = _fft_last_axis(xr, xi, Pw, inverse=True, out_window=(left, W))
+    xr, xi = _fft_last_axis(
+        xr, xi, Pw, inverse=True, out_window=(left, W), prec=prec
+    )
     xr = jnp.swapaxes(xr, -1, -2)
     xi = jnp.swapaxes(xi, -1, -2)
     yr, _ = _fft_last_axis(
-        xr, xi, Ph, inverse=True, out_window=(top, H), real_out=True
+        xr, xi, Ph, inverse=True, out_window=(top, H), real_out=True,
+        prec=prec,
     )
     yr = jnp.swapaxes(yr, -1, -2)
     return yr * jnp.float32(1.0 / (Ph * Pw))

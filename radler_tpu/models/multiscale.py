@@ -116,6 +116,10 @@ class ScaleInfo:
 # (key, psfs array (strong ref), peaks, banks) — see _prepare_fused_banks.
 _FUSED_BANK_CACHE: list = []
 
+# id(mesh) -> (bank arrays (identity key), their mesh-placed twins, mesh
+# strong ref) — see the mesh branch of _execute_fused.
+_MESH_PLACEMENT_CACHE: dict = {}
+
 
 def initialize_scales(
     scales: List[ScaleInfo],
@@ -1134,28 +1138,67 @@ class MultiScaleAlgorithm(DeconvolutionAlgorithm):
             # subminor body runs instead.
             from ..parallel.mesh import shard_multiscale_inputs
 
-            (
-                residual_in,
-                model_in,
-                kernel_f,
-                twice,
-                psf_f,
-                kernel_f_large,
-                psf_f_large,
-                valid_stack,
-                rms_factor,
-            ) = shard_multiscale_inputs(
-                self.device_mesh,
-                residual_in,
-                model_in,
-                kernel_f,
-                twice,
-                psf_f,
-                kernel_f_large,
-                psf_f_large,
-                valid_stack,
-                rms_factor,
-            )
+            # The bank arrays are stable across major iterations (module
+            # bank cache) — memoize their mesh placement by identity so
+            # every major after the first re-places only the per-major
+            # residual/model/rms (an unplaced->NamedSharding device_put is
+            # a real reshard dispatch per array per major otherwise).
+            bank_key = (kernel_f, twice, psf_f, kernel_f_large,
+                        psf_f_large, valid_stack)
+            memo = _MESH_PLACEMENT_CACHE.get(id(self.device_mesh))
+            if memo is not None and all(
+                a is b for a, b in zip(memo[0], bank_key)
+            ):
+                placed_banks = memo[1]
+                (
+                    residual_in,
+                    model_in,
+                    _kf,
+                    _tw,
+                    _pf,
+                    _kfl,
+                    _pfl,
+                    _vs,
+                    rms_factor,
+                ) = shard_multiscale_inputs(
+                    self.device_mesh,
+                    residual_in,
+                    model_in,
+                    *placed_banks[:5],
+                    placed_banks[5],
+                    rms_factor,
+                )
+                (kernel_f, twice, psf_f, kernel_f_large, psf_f_large,
+                 valid_stack) = placed_banks
+            else:
+                (
+                    residual_in,
+                    model_in,
+                    kernel_f,
+                    twice,
+                    psf_f,
+                    kernel_f_large,
+                    psf_f_large,
+                    valid_stack,
+                    rms_factor,
+                ) = shard_multiscale_inputs(
+                    self.device_mesh,
+                    residual_in,
+                    model_in,
+                    kernel_f,
+                    twice,
+                    psf_f,
+                    kernel_f_large,
+                    psf_f_large,
+                    valid_stack,
+                    rms_factor,
+                )
+                _MESH_PLACEMENT_CACHE[id(self.device_mesh)] = (
+                    bank_key,
+                    (kernel_f, twice, psf_f, kernel_f_large, psf_f_large,
+                     valid_stack),
+                    self.device_mesh,  # strong ref keeps id() valid
+                )
             use_pallas = False
             # The dense subminor inside the loop can run as a shard_map'd
             # Pallas program (multiscale_fused._make_mesh_dense_subminor)
